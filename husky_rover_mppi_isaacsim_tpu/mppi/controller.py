@@ -1,0 +1,330 @@
+"""The MPPI controller: one fully-jitted control step + goal-seeking loops.
+
+Functional re-design of ``MPPI_Controller``
+(thesis_master/warp_implementation/MPPI_isaac.py:402-806). The reference
+mutates device buffers across 8 kernel launches per control loop; here one
+control step is a single pure function ``(state, noise) -> (state', output)``
+compiled once. Robot state and controller memory are separate pytrees because
+the full-stack closed loop feeds the robot state from the physics engine
+(visual_terrain_stack_full_terrain.py:488-497) while the standalone goal-seek
+loop advances it kinematically from the optimal rollout (MPPI_isaac.py:769-784).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..core.heightfield import HeightField
+from ..dynamics.skid_steer import (
+    DiffDriveLimits,
+    inverse_diff_drive,
+    wheel_lag_matmul,
+    wheel_lag_scan,
+)
+from . import critics as crit
+from . import rollout as ro
+from .critics import Costmap, CriticWeights
+from .sampling import InputLimits, LoopSeedSequence, loop_key, perturb, sample_noise
+
+
+@dataclasses.dataclass(frozen=True)
+class MPPIConfig:
+    """Static controller configuration (config.yaml + MPPI_isaac.py:419-440).
+
+    Hashable so it can be a jit static argument; anything the goal-seek loop
+    adapts online (the input std-devs) lives in traced state instead.
+    """
+
+    num_samples: int = 1000          # number_of_trajectories
+    horizon: int = 100               # number_of_iterations
+    dt: float = 0.045
+    robot_radius: float = 1.2        # wheel track ("frame_work.robot_radius")
+    temperature: float = 0.3
+    initial_linear_velocity: float = 0.0
+    initial_angular_velocity: float = 0.0
+    limits: DiffDriveLimits = DiffDriveLimits()
+    inputs: InputLimits = InputLimits()
+    critic_weights: CriticWeights = CriticWeights()
+    projection: str = "3d"           # "3d" | "2d" rollout for the samples
+    # (k, a) wheel-lag constants: rollouts vs optimal sequence
+    # (MPPI_isaac.py:548-549 / 688-689).
+    rollout_lag: tuple = (3.5, 0.96)
+    optimal_lag: tuple = (3.0, 0.92)
+    exact: bool = False              # True: lax.scan wheel lag (oracle parity)
+                                     # False: MXU Toeplitz matmul
+    return_rollouts: bool = False    # include all K trajectories in the output
+
+    @property
+    def horizon_m(self) -> float:
+        """Lookahead distance dt * v_max * H (MPPI_isaac.py:440)."""
+        return self.dt * self.limits.v_max * self.horizon
+
+
+class RobotState(NamedTuple):
+    """Kinematic rover state (Robot, MPPI_isaac.py:381-400)."""
+
+    position: Array          # (2,) x, y
+    z: Array                 # scalar surface height
+    heading: Array           # (3,) unit heading vector
+    left_wheel_speed: Array  # scalar
+    right_wheel_speed: Array # scalar
+
+    @classmethod
+    def create(cls, x, y, heading, dtype=jnp.float32) -> "RobotState":
+        heading = jnp.asarray(heading, dtype)
+        heading = heading / jnp.linalg.norm(heading)
+        return cls(
+            position=jnp.array([x, y], dtype),
+            z=jnp.asarray(0.0, dtype),
+            heading=heading,
+            left_wheel_speed=jnp.asarray(0.0, dtype),
+            right_wheel_speed=jnp.asarray(0.0, dtype),
+        )
+
+
+class ControllerState(NamedTuple):
+    """Persistent controller memory across control loops."""
+
+    optimal_u1: Array  # (H,)
+    optimal_u2: Array  # (H,)
+    std_u1: Array      # scalar, adapted online (MPPI_isaac.py:777-778)
+    std_u2: Array      # scalar
+
+    @classmethod
+    def create(cls, config: MPPIConfig, dtype=jnp.float32) -> "ControllerState":
+        h = config.horizon
+        return cls(
+            optimal_u1=jnp.zeros((h,), dtype),
+            optimal_u2=jnp.zeros((h,), dtype),
+            std_u1=jnp.asarray(config.inputs.std_u1, dtype),
+            std_u2=jnp.asarray(config.inputs.std_u2, dtype),
+        )
+
+
+class StepOutput(NamedTuple):
+    """Result of one control step."""
+
+    linear_velocity: Array   # scalar: optimal v for the next command
+    angular_velocity: Array  # scalar: optimal omega
+    optimal_trajectory: Array   # (H, 3) optimal rollout
+    optimal_headings: Array     # (H, 3)
+    optimal_linear: Array       # (H,) full optimal velocity profile
+    optimal_angular: Array      # (H,)
+    costs: Array                # (K,)
+    weights: Array              # (K,)
+    rollouts: Array | None      # (K, H, 3) when config.return_rollouts
+
+
+def mppi_step(
+    config: MPPIConfig,
+    hf: HeightField,
+    costmap: Costmap,
+    goal: Array,
+    robot: RobotState,
+    ctrl: ControllerState,
+    noise: Array,
+) -> tuple[ControllerState, StepOutput]:
+    """One MPPI control step (MPPI_isaac.py:505-752), fully traceable.
+
+    Kernel-launch sequence of the reference collapsed into one program:
+    sample inputs -> wheel-lag conversion -> K rollouts -> critics ->
+    two-pass softmax weights -> weighted optimal inputs -> optimal-sequence
+    conversion -> optimal rollout.
+    """
+    wheel_lag = wheel_lag_scan if config.exact else wheel_lag_matmul
+    track = jnp.asarray(config.robot_radius, noise.dtype)
+    horizon_m = jnp.asarray(config.horizon_m, noise.dtype)
+
+    # 1. Receding-horizon input perturbation (sampling_warp.py:54-92).
+    u1, u2 = perturb(
+        ctrl.optimal_u1, ctrl.optimal_u2, noise, ctrl.std_u1, ctrl.std_u2,
+        config.inputs,
+    )
+
+    # 2. Inputs -> wheel velocities -> (v, omega) (sampling_warp.py:96-139).
+    k_r, a_r = config.rollout_lag
+    lin, ang = wheel_lag(
+        u1, u2, robot.left_wheel_speed, robot.right_wheel_speed, track,
+        config.limits, k_r, a_r,
+    )
+
+    # 3. K surface-riding rollouts (projection_warp.py:284-350).
+    if config.projection == "2d":
+        traj, headings = ro.rollout_2d(
+            hf, robot.position, robot.heading, lin, ang, config.dt
+        )
+        # The 2D variant has no wheel tracks; reuse body trajectory so the
+        # wheel-slope critic degrades to the body-slope critic.
+        lw = rw = traj
+    else:
+        r = ro.rollout_25d(hf, robot.position, robot.heading, lin, ang, config.dt)
+        traj, headings, lw, rw = r
+
+    # 4. Critic stack (critics_warp.py:302-329).
+    costs = crit.evaluate_trajectories(
+        robot.position[0], robot.position[1], goal, traj, lw, rw, lin,
+        jnp.asarray(config.limits.v_max, noise.dtype), costmap, horizon_m,
+        config.critic_weights,
+    )
+
+    # 5. Importance weights + weighted optimal inputs (critics_warp.py:338-376).
+    weights = crit.softmax_weights(costs, config.temperature)
+    opt_u1, opt_u2 = crit.weighted_update(weights, u1, u2)
+
+    # 6. Optimal-sequence conversion with the softer lag constants
+    #    (MPPI_isaac.py:672-692).
+    k_o, a_o = config.optimal_lag
+    opt_lin, opt_ang = wheel_lag(
+        opt_u1[None], opt_u2[None], robot.left_wheel_speed,
+        robot.right_wheel_speed, track, config.limits, k_o, a_o,
+    )
+    opt_lin, opt_ang = opt_lin[0], opt_ang[0]
+
+    # 7. Optimal rollout — always the 3D kernel, even in 2D mode
+    #    (MPPI_isaac.py:696-720).
+    opt = ro.rollout_25d(
+        hf, robot.position, robot.heading, opt_lin[None], opt_ang[None], config.dt
+    )
+
+    new_ctrl = ControllerState(
+        optimal_u1=opt_u1,
+        optimal_u2=opt_u2,
+        # Adaptive exploration noise (MPPI_isaac.py:777-778).
+        std_u1=jnp.maximum(0.4, 0.4 - opt_ang[0] * opt_ang[0]),
+        std_u2=jnp.maximum(0.4, 0.4 + opt_ang[0] * opt_ang[0]),
+    )
+    out = StepOutput(
+        linear_velocity=opt_lin[0],
+        angular_velocity=opt_ang[0],
+        optimal_trajectory=opt.trajectory[0],
+        optimal_headings=opt.headings[0],
+        optimal_linear=opt_lin,
+        optimal_angular=opt_ang,
+        costs=costs,
+        weights=weights,
+        rollouts=traj if config.return_rollouts else None,
+    )
+    return new_ctrl, out
+
+
+def kinematic_advance(
+    config: MPPIConfig, robot: RobotState, out: StepOutput
+) -> RobotState:
+    """Advance the robot to the first waypoint of the optimal rollout — the
+    standalone goal-seek "sim" semantics (MPPI_isaac.py:769-784)."""
+    left, right = inverse_diff_drive(
+        out.linear_velocity, out.angular_velocity,
+        jnp.asarray(config.robot_radius, out.linear_velocity.dtype),
+    )
+    return RobotState(
+        position=out.optimal_trajectory[0, :2],
+        z=out.optimal_trajectory[0, 2],
+        heading=out.optimal_headings[0],
+        left_wheel_speed=left,
+        right_wheel_speed=right,
+    )
+
+
+class GoalSeekResult(NamedTuple):
+    robot: RobotState
+    ctrl: ControllerState
+    loops: Array
+    reached: Array
+
+
+def goal_seek(
+    config: MPPIConfig,
+    hf: HeightField,
+    costmap: Costmap,
+    goal: Array,
+    robot: RobotState,
+    ctrl: ControllerState,
+    key: Array,
+    max_loops: int = 3500,
+) -> GoalSeekResult:
+    """Fully-on-device goal-seeking loop (MPPI_Controller.run,
+    MPPI_isaac.py:755-806): stop when |dx|<0.5 and |dy|<0.5 or after
+    ``max_loops`` control loops. One ``lax.while_loop`` — zero host syncs."""
+
+    def cond(carry):
+        robot, ctrl, key, loop = carry
+        dx = jnp.abs(robot.position[0] - goal[0])
+        dy = jnp.abs(robot.position[1] - goal[1])
+        return jnp.logical_and(
+            jnp.logical_or(dx > 0.5, dy > 0.5), loop < max_loops
+        )
+
+    def body(carry):
+        robot, ctrl, key, loop = carry
+        key, sub = jax.random.split(key)
+        noise = sample_noise(
+            sub, config.num_samples, config.horizon, robot.position.dtype
+        )
+        ctrl, out = mppi_step(config, hf, costmap, goal, robot, ctrl, noise)
+        robot = kinematic_advance(config, robot, out)
+        return (robot, ctrl, key, loop + 1)
+
+    loop0 = jnp.asarray(0, jnp.int32)
+    robot, ctrl, key, loops = jax.lax.while_loop(cond, body, (robot, ctrl, key, loop0))
+    dx = jnp.abs(robot.position[0] - goal[0])
+    dy = jnp.abs(robot.position[1] - goal[1])
+    reached = jnp.logical_and(dx <= 0.5, dy <= 0.5)
+    return GoalSeekResult(robot=robot, ctrl=ctrl, loops=loops, reached=reached)
+
+
+class MPPIController:
+    """Host-side convenience wrapper mirroring the reference controller's
+    surface API (``warp_setup``/``MPPI_step``/``run``) around the pure
+    functions above. Owns the jitted step and the replayable per-loop seed
+    stream."""
+
+    def __init__(
+        self,
+        config: MPPIConfig,
+        hf: HeightField,
+        costmap: Costmap,
+        goal_xy,
+        seed: int = 42,
+    ):
+        self.config = config
+        self.hf = hf
+        self.costmap = costmap
+        self.goal = jnp.asarray(goal_xy, hf.z.dtype)
+        self.base_key = jax.random.key(seed)
+        self.seeds = LoopSeedSequence(config.horizon, seed)
+        self._step = jax.jit(mppi_step, static_argnums=0)
+        self.loop = 0
+
+    def step(self, robot: RobotState, ctrl: ControllerState, noise=None):
+        """One control step; draws the loop noise from the replayable seed
+        stream unless ``noise`` is injected (oracle bit-match path)."""
+        if noise is None:
+            k = loop_key(self.base_key, self.seeds.next_seed())
+            noise = sample_noise(
+                k, self.config.num_samples, self.config.horizon,
+                self.hf.z.dtype,
+            )
+        self.loop += 1
+        return self._step(
+            self.config, self.hf, self.costmap, self.goal, robot, ctrl, noise
+        )
+
+    def run(self, robot: RobotState, max_loops: int = 3500):
+        """Host-visible goal-seek loop (useful for logging / debugging; the
+        benchmark path uses :func:`goal_seek`)."""
+        ctrl = ControllerState.create(self.config, self.hf.z.dtype)
+        trajectory = [np.asarray(robot.position)]
+        while (
+            abs(float(robot.position[0]) - float(self.goal[0])) > 0.5
+            or abs(float(robot.position[1]) - float(self.goal[1])) > 0.5
+        ) and self.loop < max_loops:
+            ctrl, out = self.step(robot, ctrl)
+            robot = kinematic_advance(self.config, robot, out)
+            trajectory.append(np.asarray(robot.position))
+        return robot, ctrl, np.stack(trajectory)
