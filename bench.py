@@ -76,12 +76,41 @@ def bench_config(hf, cm, num_samples, horizon, iters=50, warmup=5):
     return dt, num_samples * horizon / dt
 
 
+def bench_vec_env(hf, num_rovers=4096, steps=200, warmup=20):
+    """BASELINE config 2: N Husky instances in lockstep (skid-steer dynamics
+    + surface riding) under one jit on one chip."""
+    import functools
+
+    from husky_rover_mppi_isaacsim_tpu.env import RoverParams, RoverState
+    from husky_rover_mppi_isaacsim_tpu.env import rover_sim
+
+    dtype = hf.z.dtype
+    params = RoverParams()
+    key = jax.random.key(0)
+    pos = jax.random.uniform(key, (num_rovers, 2), dtype, -50.0, 50.0)
+    state = RoverState.create(pos, [1.0, 0.0, 0.0], hf)
+    cmd = jnp.full((num_rovers,), 1.5, dtype)
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def run(state, n_steps):
+        def body(s, _):
+            return rover_sim.step(params, hf, s, cmd, cmd), None
+        return jax.lax.scan(body, state, None, length=n_steps)[0]
+
+    state = jax.block_until_ready(run(state, steps))  # compile + warm
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(run(state, steps))
+    dt = (time.perf_counter() - t0) / steps
+    return dt, num_rovers / dt
+
+
 def main():
     hf, cm = build_world()
     # Reference workload: K=1000, H=100 (config.yaml).
     loop_s, steps_per_s = bench_config(hf, cm, 1000, 100)
     # Large batched config (BASELINE config 1): 16k x 64.
     loop_s_big, steps_per_s_big = bench_config(hf, cm, 16384, 64, iters=20)
+    env_dt, env_steps_per_s = bench_vec_env(hf)
 
     best = max(steps_per_s, steps_per_s_big)
     result = {
@@ -94,6 +123,8 @@ def main():
             "k1000_h100_steps_per_s": round(steps_per_s, 1),
             "k16384_h64_loop_ms": round(loop_s_big * 1e3, 4),
             "k16384_h64_steps_per_s": round(steps_per_s_big, 1),
+            "vec_env_4096_step_us": round(env_dt * 1e6, 2),
+            "vec_env_rover_steps_per_s": round(env_steps_per_s, 1),
             "device": str(jax.devices()[0]),
         },
     }

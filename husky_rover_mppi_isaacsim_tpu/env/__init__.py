@@ -1,0 +1,37 @@
+from .closed_loop import (
+    ClosedLoopConfig,
+    LoopState,
+    closed_loop_step,
+    init_loop_state,
+    run_episode,
+)
+from .frames import (
+    BlockFrame,
+    controller_to_world,
+    heading_world_to_controller,
+    rebase_on_shift,
+    world_to_controller,
+)
+from .metrics import goal_distances, path_metrics, success_mask
+from .rover_sim import RoverParams, RoverState, reset_mask, step, teleport
+
+__all__ = [
+    "ClosedLoopConfig",
+    "LoopState",
+    "closed_loop_step",
+    "init_loop_state",
+    "run_episode",
+    "BlockFrame",
+    "controller_to_world",
+    "heading_world_to_controller",
+    "rebase_on_shift",
+    "world_to_controller",
+    "goal_distances",
+    "path_metrics",
+    "success_mask",
+    "RoverParams",
+    "RoverState",
+    "reset_mask",
+    "step",
+    "teleport",
+]
