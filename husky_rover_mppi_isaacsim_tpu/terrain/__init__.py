@@ -1,3 +1,4 @@
+from . import craters, point_process, rocks, streaming, upsample
 from .costmap import (
     as_costmap,
     costmap_750,

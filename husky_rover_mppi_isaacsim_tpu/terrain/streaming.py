@@ -1,0 +1,326 @@
+"""Streamed high-resolution terrain windows — the TPU-native replacement for
+``HighResDEMGen`` + its multiprocessing worker pools
+(src/terrain_management/large_scale_terrain/high_resolution_DEM_generator.py,
+high_resolution_DEM_workers.py).
+
+The reference maintains a sliding (2N+3)^2 grid of 50 m blocks at 2.5-5 cm/px:
+on every shift it memmoves the big DEM array, samples crater metadata for the
+new region, and dispatches per-block jobs (crater rendering + PIL bicubic
+upsampling) to 8+1 worker *processes*. Here each block is built by two jitted
+device passes (bicubic upsample matmuls + the crater-stamp scan) and cached;
+the window is composed from cached blocks on device. Async pipelining falls
+out of JAX's async dispatch — block builds for a shift are all in flight
+before the first is awaited, replacing the queue/worker machinery.
+
+Crater metadata generation (hardcore Poisson, data-dependent shapes) stays on
+host per SURVEY.md §7 — it is O(craters) and cheap; only rasterization runs
+on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from .craters import (
+    CraterField,
+    CraterProfiles,
+    CraterSamplerConf,
+    build_profiles,
+    randomize_metadata,
+    render_crater_block,
+)
+from .point_process import BoundingBox, hardcore_poisson
+from .upsample import bilinear_point_sample, upsample_bicubic
+
+
+@dataclasses.dataclass
+class StreamerConf:
+    """Window geometry (HighResDEMConf semantics,
+    high_resolution_DEM_generator.py:42-87)."""
+
+    block_size: float = 50.0       # meters per block
+    resolution: float = 0.05       # HR meters/px
+    lr_resolution: float = 5.0     # LR meters/px (LOLA tiles)
+    num_blocks: int = 2            # window side = 2*num_blocks + 3 blocks
+    pad_size: float = 10.0         # crater-render padding (m)
+    z_scale: float = 1.0
+    seed: int = 42
+    crater: CraterSamplerConf = dataclasses.field(default_factory=CraterSamplerConf)
+    generate_craters: bool = True
+    max_cached_blocks: int = 256
+
+    def __post_init__(self) -> None:
+        assert self.block_size > 0 and self.resolution > 0
+        ratio = self.lr_resolution / self.resolution
+        assert abs(ratio - round(ratio)) < 1e-9, (
+            "lr_resolution must be an integer multiple of resolution"
+        )
+        lr_block = self.block_size / self.lr_resolution
+        assert abs(lr_block - round(lr_block)) < 1e-9, (
+            "block_size must be an integer number of LR pixels"
+        )
+
+    @property
+    def blocks_per_side(self) -> int:
+        return 2 * self.num_blocks + 3
+
+    @property
+    def block_px(self) -> int:
+        return int(round(self.block_size / self.resolution))
+
+    @property
+    def window_px(self) -> int:
+        return self.blocks_per_side * self.block_px
+
+    @property
+    def window_size(self) -> float:
+        return self.blocks_per_side * self.block_size
+
+    @property
+    def upscale_factor(self) -> int:
+        return int(round(self.lr_resolution / self.resolution))
+
+    @property
+    def pad_px(self) -> int:
+        return int(round(self.pad_size / self.resolution))
+
+
+class TerrainStreamer:
+    """Sliding HR terrain window over a low-resolution source DEM.
+
+    Axis convention matches the reference DEM layout (row = x, col = y,
+    map_manager.py:88-90 after its flip/transpose), so the window can be
+    handed directly to the MPPI surface with the rotated controller frame
+    (env/frames.py).
+    """
+
+    def __init__(self, conf: StreamerConf, lr_dem: np.ndarray,
+                 lr_center: Tuple[float, float] = (0.0, 0.0)):
+        """Args:
+            lr_dem: (H, W) low-resolution source DEM (meters), row = x.
+            lr_center: world coordinate of the LR DEM center.
+        """
+        self.conf = conf
+        self.lr_dem = jnp.asarray(lr_dem, jnp.float32)
+        self.lr_center = lr_center
+        self.rng = np.random.default_rng(conf.seed)
+        self.profiles: CraterProfiles = build_profiles(
+            conf.crater.num_profiles, conf.crater.seed
+        )
+        self.crater_blocks: Dict[Tuple[int, int], tuple] = {}
+        self.block_cache: Dict[Tuple[int, int], Array] = {}
+        self.anchor: Tuple[int, int] | None = None  # SW block index of window
+        self.window: Array | None = None
+        self.shift_count = 0
+
+    # --- coordinates --------------------------------------------------------
+
+    def block_index(self, position) -> Tuple[int, int]:
+        """Block containing a world position (cast_coordinates_to_block_space,
+        high_resolution_DEM_generator.py:234-253)."""
+        bs = self.conf.block_size
+        return (int(np.floor(position[0] / bs)), int(np.floor(position[1] / bs)))
+
+    def window_origin(self) -> Tuple[float, float]:
+        """World coordinate of the window's [0, 0] pixel."""
+        bs = self.conf.block_size
+        return (self.anchor[0] * bs, self.anchor[1] * bs)
+
+    # --- crater metadata ----------------------------------------------------
+
+    def _block_region(self, bx: int, by: int) -> BoundingBox:
+        bs = self.conf.block_size
+        return BoundingBox(bx * bs, (bx + 1) * bs, by * bs, (by + 1) * bs)
+
+    def _sample_block_craters(self, bx: int, by: int) -> None:
+        """Sample crater metadata for one block with neighbor-aware hardcore
+        rejection (CraterSampler.sample_craters_by_block,
+        crater_distribution.py:503-583)."""
+        if (bx, by) in self.crater_blocks:
+            return
+        prev_c, prev_r = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                blk = self.crater_blocks.get((bx + dx, by + dy))
+                if blk is not None:
+                    prev_c.append(blk[0])
+                    prev_r.append(blk[1])
+        prev = None
+        if prev_c:
+            prev = (np.concatenate(prev_c), np.concatenate(prev_r))
+        cc = self.conf.crater
+        coords, radius = hardcore_poisson(
+            self.rng, self._block_region(bx, by), cc.densities,
+            cc.radius_ranges, prev, cc.num_repeat,
+        )
+        if coords.shape[0] > cc.capacity_per_block:
+            coords = coords[: cc.capacity_per_block]
+            radius = radius[: cc.capacity_per_block]
+        self.crater_blocks[(bx, by)] = (coords, radius)
+
+    @property
+    def _field_capacity(self) -> int:
+        """Static crater capacity of one padded block raster: density x
+        padded area with headroom, rounded up to the render chunk size."""
+        conf = self.conf
+        padded = conf.block_size + 2 * conf.pad_size
+        expected = padded * padded * sum(conf.crater.densities)
+        cap = int(expected * 1.5) + 64
+        return -(-cap // 256) * 256
+
+    @property
+    def _patch_px(self) -> int:
+        """Static per-crater patch size: the largest crater diameter in
+        pixels plus margin, rounded to a multiple of 8."""
+        r_max = max(hi for _, hi in self.conf.crater.radius_ranges)
+        p = int(np.ceil(2 * r_max / self.conf.resolution)) + 4
+        return -(-p // 8) * 8
+
+    def _block_field(self, bx: int, by: int) -> CraterField:
+        """Metadata of a block and its 8 neighbors (craters bleed across
+        block borders, CraterDB.get_block_data_with_neighbors), filtered to
+        craters fully inside the padded raster — the reference's
+        ``check_if_crater_is_in_block`` (crater_generation.py:169-181)."""
+        cc = self.conf.crater
+        conf = self.conf
+        coords, radius = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                self._sample_block_craters(bx + dx, by + dy)
+                c, r = self.crater_blocks[(bx + dx, by + dy)]
+                coords.append(c)
+                radius.append(r)
+        coords = np.concatenate(coords)
+        radius = np.concatenate(radius)
+        # keep craters whose patch lies inside the padded raster
+        origin = np.array([bx * conf.block_size, by * conf.block_size])
+        size_px = conf.block_px + 2 * conf.pad_px
+        coord_px = (coords - origin) / conf.resolution + conf.pad_px
+        c_half = radius / conf.resolution
+        keep = (
+            (coord_px[:, 0] - c_half >= 0)
+            & (coord_px[:, 1] - c_half >= 0)
+            & (coord_px[:, 0] + c_half < size_px)
+            & (coord_px[:, 1] + c_half < size_px)
+        )
+        coords, radius = coords[keep], radius[keep]
+        # Deterministic per-crater appearance: a dedicated generator keyed by
+        # the block so metadata does not depend on build order.
+        meta_rng = np.random.default_rng(
+            (self.conf.seed, 0x5EED, bx & 0xFFFF, by & 0xFFFF)
+        )
+        cap = self._field_capacity
+        if coords.shape[0] > cap:
+            coords, radius = coords[:cap], radius[:cap]
+        return randomize_metadata(
+            meta_rng, coords, radius, cc.num_profiles, cap,
+            cc.min_xy_ratio, cc.max_xy_ratio,
+        )
+
+    # --- block building -----------------------------------------------------
+
+    def _lr_patch(self, bx: int, by: int) -> Array:
+        """LR source patch covering a block + 2 LR pixels of margin, clamped
+        at the LR DEM edges (querry_low_res_dem semantics)."""
+        lr_px = int(round(self.conf.block_size / self.conf.lr_resolution))
+        margin = 2
+        h, w = self.lr_dem.shape
+        cx = self.lr_center
+        # LR pixel of the block's SW corner
+        px = int(round(bx * self.conf.block_size / self.conf.lr_resolution)) + h // 2
+        py = int(round(by * self.conf.block_size / self.conf.lr_resolution)) + w // 2
+        xs = np.clip(np.arange(px - margin, px + lr_px + margin), 0, h - 1)
+        ys = np.clip(np.arange(py - margin, py + lr_px + margin), 0, w - 1)
+        return self.lr_dem[jnp.asarray(xs)][:, jnp.asarray(ys)]
+
+    def build_block(self, bx: int, by: int) -> Array:
+        """Build one HR block: bicubic upsample of the LR patch + crater
+        stamp (the two worker jobs of generate_terrain_blocks,
+        high_resolution_DEM_generator.py:760-784, fused on device)."""
+        key = (bx, by)
+        cached = self.block_cache.get(key)
+        if cached is not None:
+            return cached
+        conf = self.conf
+        margin_px = 2 * conf.upscale_factor
+        hr = upsample_bicubic(self._lr_patch(bx, by), conf.upscale_factor)
+        hr = jax.lax.dynamic_slice(
+            hr, (margin_px, margin_px), (conf.block_px, conf.block_px)
+        )
+        if conf.generate_craters:
+            field = self._block_field(bx, by)
+            origin = jnp.asarray(
+                [bx * conf.block_size, by * conf.block_size], jnp.float32
+            )
+            craters = render_crater_block(
+                self.profiles, field, origin, conf.resolution, conf.z_scale,
+                conf.block_px, conf.pad_px, patch_px=self._patch_px,
+            )
+            hr = hr + craters
+        if len(self.block_cache) >= conf.max_cached_blocks:
+            self.block_cache.pop(next(iter(self.block_cache)))
+        self.block_cache[key] = hr
+        return hr
+
+    # --- window management --------------------------------------------------
+
+    def update(self, position) -> bool:
+        """Re-anchor the window so ``position`` is in its center block;
+        returns True when the window shifted (update_visual_mesh trigger
+        semantics, large_scale_terrain_manager.py:202-257)."""
+        bx, by = self.block_index(position)
+        n = self.conf.num_blocks + 1  # center block offset inside the window
+        new_anchor = (bx - n, by - n)
+        if new_anchor == self.anchor and self.window is not None:
+            return False
+        self.anchor = new_anchor
+        side = self.conf.blocks_per_side
+        rows = []
+        for i in range(side):
+            row = [
+                self.build_block(self.anchor[0] + i, self.anchor[1] + j)
+                for j in range(side)
+            ]
+            rows.append(jnp.concatenate(row, axis=1))
+        self.window = jnp.concatenate(rows, axis=0)
+        self.shift_count += 1
+        return True
+
+    # --- queries ------------------------------------------------------------
+
+    def _to_window_px(self, x, y):
+        ox, oy = self.window_origin()
+        res = self.conf.resolution
+        return (jnp.asarray(x) - ox) / res, (jnp.asarray(y) - oy) / res
+
+    def get_height(self, x, y) -> Array:
+        """Bilinear height query in world coordinates
+        (get_height_global, large_scale_terrain_manager.py:96-150)."""
+        px, py = self._to_window_px(x, y)
+        return bilinear_point_sample(self.window, px, py)
+
+    def get_normal(self, x, y) -> Array:
+        """Quad normal in world coordinates (get_normal_local semantics,
+        quad-normal formula of the projection kernels)."""
+        px, py = self._to_window_px(x, y)
+        i = jnp.floor(px).astype(jnp.int32)
+        j = jnp.floor(py).astype(jnp.int32)
+        n = self.window.shape[0]
+        i = jnp.clip(i, 0, n - 2)
+        j = jnp.clip(j, 0, n - 2)
+        q00 = self.window[i, j]
+        q01 = self.window[i, j + 1]
+        q10 = self.window[i + 1, j]
+        q11 = self.window[i + 1, j + 1]
+        res = self.conf.resolution
+        vx = -res / 2.0 * (q01 - q00 - q10 + q11)
+        vy = -res / 2.0 * (q10 - q00 - q01 + q11)
+        vz = res * res * jnp.ones_like(vx)
+        v = jnp.stack([vx, vy, vz], axis=-1)
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)

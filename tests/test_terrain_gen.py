@@ -1,0 +1,356 @@
+"""Procedural terrain generation: point processes, craters, upsampling,
+streaming windows, rock scatter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from husky_rover_mppi_isaacsim_tpu.core import HeightField
+from husky_rover_mppi_isaacsim_tpu.terrain import point_process as pp
+from husky_rover_mppi_isaacsim_tpu.terrain.craters import (
+    CraterSamplerConf,
+    build_profiles,
+    randomize_metadata,
+    render_crater_block,
+)
+from husky_rover_mppi_isaacsim_tpu.terrain.rocks import (
+    RockDistConf,
+    RockSampler,
+    rocks_to_obstacles,
+    surface_orientation,
+)
+from husky_rover_mppi_isaacsim_tpu.terrain.streaming import (
+    StreamerConf,
+    TerrainStreamer,
+)
+from husky_rover_mppi_isaacsim_tpu.terrain.upsample import (
+    bicubic_point_sample,
+    bilinear_point_sample,
+    upsample_bicubic,
+)
+
+
+# --- point processes --------------------------------------------------------
+
+def test_poisson_host_density_and_determinism():
+    region = pp.BoundingBox(0, 100, 0, 100)
+    rng = np.random.default_rng(5)
+    coords, radius = pp.sample_poisson(rng, region, 0.05, (0.5, 1.0))
+    assert abs(coords.shape[0] - 500) < 150
+    assert coords[:, 0].min() >= 0 and coords[:, 0].max() <= 100
+    assert radius.min() >= 0.5 and radius.max() <= 1.0
+    rng2 = np.random.default_rng(5)
+    coords2, _ = pp.sample_poisson(rng2, region, 0.05, (0.5, 1.0))
+    np.testing.assert_array_equal(coords, coords2)
+
+
+def test_hardcore_rejection_thins():
+    region = pp.BoundingBox(0, 20, 0, 20)
+    rng = np.random.default_rng(2)
+    coords, radius = pp.sample_poisson(rng, region, 1.0, (1.0, 2.0))
+    kept_c, kept_r = pp.hardcore_rejection(rng, coords, radius)
+    assert 0 < kept_c.shape[0] < coords.shape[0]
+
+
+def test_hardcore_poisson_tiers():
+    rng = np.random.default_rng(3)
+    region = pp.BoundingBox(0, 50, 0, 50)
+    coords, radius = pp.hardcore_poisson(
+        rng, region, (0.02, 0.2), ((2.0, 3.0), (0.5, 1.0))
+    )
+    assert coords.shape[0] == radius.shape[0] > 10
+    assert radius.max() <= 3.0
+
+
+def test_thomas_process_clusters():
+    rng = np.random.default_rng(4)
+    region = pp.BoundingBox(0, 50, 0, 50)
+    points = pp.thomas_point_process(rng, region, 0.01, 20, 1.0)
+    assert points.shape[0] > 50
+    assert points.min() >= 0 and points.max() <= 50
+    # clustered: mean nearest-neighbor distance well below uniform expectation
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(points).query(points, k=2)
+    mean_nn = d[:, 1].mean()
+    uniform_nn = 0.5 / np.sqrt(points.shape[0] / 2500.0)
+    assert mean_nn < 0.7 * uniform_nn
+
+
+def test_device_poisson_and_hardcore():
+    key = jax.random.key(0)
+    pts = pp.poisson_fixed(key, (0, 40, 0, 40), 0.05, (0.5, 1.0), capacity=256)
+    count = int(pts.mask.sum())
+    assert 30 < count < 200
+    thinned = pp.hardcore_thin_fixed(jax.random.key(1), pts)
+    assert int(thinned.mask.sum()) <= count
+    xy = np.asarray(pts.points)[np.asarray(pts.mask)]
+    assert xy.min() >= 0 and xy.max() <= 40
+
+
+def test_device_thomas():
+    pts = pp.thomas_fixed(
+        jax.random.key(2), (0, 30, 0, 30), 0.02, 10.0, 1.5,
+        parent_capacity=64, children_per_parent=32,
+    )
+    xy = np.asarray(pts.points)[np.asarray(pts.mask)]
+    assert xy.shape[0] > 10
+    assert xy.min() >= 0 and xy.max() <= 30
+
+
+# --- craters ----------------------------------------------------------------
+
+def _single_crater_field(radius=2.0, x=8.0, y=8.0, rotation=0.0, xy_factor=1.0,
+                         intensity=0.0, capacity=8):
+    rng = np.random.default_rng(0)
+    field = randomize_metadata(
+        rng, np.array([[x, y]]), np.array([radius]), num_profiles=4,
+        capacity=capacity,
+    )
+    field = field._replace(
+        rotation=field.rotation.at[0].set(rotation),
+        xy_factor=field.xy_factor.at[0].set(xy_factor),
+        marks_intensity=field.marks_intensity.at[0].set(intensity),
+    )
+    return field
+
+
+def test_crater_profiles_shapes():
+    profiles = build_profiles(num_profiles=8, seed=1)
+    assert profiles.deformation.shape == (8, 256)
+    d = np.asarray(profiles.deformation)
+    assert d.min() > 0.9 and d.max() < 1.05
+    h = np.asarray(profiles.height)
+    assert h.min() < -0.1          # bowls are depressed
+    np.testing.assert_allclose(h[:, -1], 0.0, atol=1e-6)  # profile(1) = 0
+
+
+def test_render_single_crater_bowl():
+    profiles = build_profiles(num_profiles=4, seed=1)
+    field = _single_crater_field(radius=2.0)
+    dem = render_crater_block(
+        profiles, field, jnp.asarray([0.0, 0.0]), 0.125, 1.0,
+        block_px=128, pad_px=16, patch_px=48, chunk=8,
+    )
+    dem = np.asarray(dem)
+    cx = int(8.0 / 0.125)
+    assert dem[cx, cx] < -0.1               # bowl floor below datum
+    ring = dem[cx, cx + int(1.4 / 0.125)]    # near the rim
+    assert ring > dem[cx, cx]
+    assert abs(dem[5, 5]) < 1e-6             # far corner untouched
+    # rim raised above datum somewhere
+    assert dem.max() > 0.005
+
+
+def test_render_rotation_semantics():
+    """Rotation rotates the whole crater (deformation profile included, as
+    scipy.rotate does in the reference): 360 deg is the identity and 90 deg
+    preserves the stamped mass."""
+    profiles = build_profiles(num_profiles=4, seed=1)
+    kwargs = dict(block_px=128, pad_px=16, patch_px=48, chunk=8)
+    dem0 = np.asarray(render_crater_block(
+        profiles, _single_crater_field(rotation=0.0),
+        jnp.asarray([0.0, 0.0]), 0.125, 1.0, **kwargs))
+    dem360 = np.asarray(render_crater_block(
+        profiles, _single_crater_field(rotation=360.0),
+        jnp.asarray([0.0, 0.0]), 0.125, 1.0, **kwargs))
+    np.testing.assert_allclose(dem0, dem360, atol=1e-5)
+    dem90 = np.asarray(render_crater_block(
+        profiles, _single_crater_field(rotation=90.0),
+        jnp.asarray([0.0, 0.0]), 0.125, 1.0, **kwargs))
+    assert not np.allclose(dem0, dem90)  # deformation rotated with the crater
+    np.testing.assert_allclose(dem0.sum(), dem90.sum(), rtol=5e-3)
+    np.testing.assert_allclose(dem0.min(), dem90.min(), rtol=5e-3)
+
+
+def test_render_matches_dense_numpy_reference():
+    """The patch+scatter path equals a direct dense NumPy evaluation of the
+    same crater math."""
+    profiles = build_profiles(num_profiles=4, seed=1)
+    res, z_scale = 0.25, 1.0
+    field = _single_crater_field(radius=3.0, x=10.0, y=12.0, rotation=30.0,
+                                 xy_factor=0.9, intensity=0.5)
+    dem = np.asarray(render_crater_block(
+        profiles, field, jnp.asarray([0.0, 0.0]), res, z_scale,
+        block_px=96, pad_px=16, patch_px=48, chunk=8,
+    ))
+
+    # dense reference
+    def table_lookup(table, x):
+        pos = np.clip(x, 0, 1) * (table.shape[0] - 1)
+        i0 = np.floor(pos).astype(int)
+        i1 = np.minimum(i0 + 1, table.shape[0] - 1)
+        return table[i0] * (1 - (pos - i0)) + table[i1] * (pos - i0)
+
+    size_px = 96 + 32
+    half_px = np.floor(3.0 / res)
+    cpx = np.floor(10.0 / res) + 16
+    cpy = np.floor(12.0 / res) + 16
+    xs = np.arange(size_px)[:, None] - cpx
+    ys = np.arange(size_px)[None, :] - cpy
+    ang = np.deg2rad(float(field.rotation[0]))
+    ur = np.cos(ang) * xs + np.sin(ang) * ys
+    vr = -np.sin(ang) * xs + np.cos(ang) * ys
+    theta = np.arctan2(ur, vr) / (2 * np.pi) + 0.5
+    deform = np.asarray(profiles.deformation[int(field.deformation_id[0])])
+    marks_t = np.asarray(profiles.marks[int(field.marks_id[0])])
+    height_t = np.asarray(profiles.height[int(field.profile_id[0])])
+    fac = table_lookup(deform, theta)
+    marks = table_lookup(marks_t, theta) * half_px * float(field.marks_intensity[0])
+    m = np.sqrt((vr / float(field.xy_factor[0])) ** 2 + ur**2) * fac
+    mu1, mu2, std = 0.15 * half_px, 0.45 * half_px, 0.05 * half_px
+    sat = np.where(
+        m < mu1, np.exp(-0.5 * ((m - mu1) / std) ** 2),
+        np.where(m > mu2, np.exp(-0.5 * ((m - mu2) / std) ** 2), 1.0),
+    )
+    m = m + marks * sat
+    m = np.where(np.maximum(np.abs(ur), np.abs(vr)) <= half_px, m, half_px)
+    m = np.minimum(m, half_px)
+    h = table_lookup(height_t, m / half_px) * 3.0 * z_scale
+    inside = np.maximum(np.abs(xs), np.abs(ys)) <= half_px
+    expected = np.where(inside, h, 0.0)[16:-16, 16:-16]
+    np.testing.assert_allclose(dem, expected, atol=1e-4)
+
+
+# --- upsampling -------------------------------------------------------------
+
+def test_upsample_bicubic_matches_pil():
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    lr = rng.normal(size=(24, 24)).astype(np.float32)
+    factor = 8
+    hr = np.asarray(upsample_bicubic(jnp.asarray(lr), factor))
+    img = Image.fromarray(lr, mode="F")
+    pil = np.array(
+        img.resize((24 * factor, 24 * factor), Image.BICUBIC), np.float32
+    )
+    interior = slice(2 * factor, -2 * factor)
+    np.testing.assert_allclose(
+        hr[interior, interior], pil[interior, interior], atol=2e-5
+    )
+
+
+def test_point_samplers():
+    rng = np.random.default_rng(8)
+    z = jnp.asarray(rng.normal(size=(32, 32)))
+    # on-grid points reproduce exactly
+    xi = jnp.asarray([3.0, 10.0, 20.0])
+    yi = jnp.asarray([5.0, 11.0, 30.0])
+    np.testing.assert_allclose(
+        np.asarray(bilinear_point_sample(z, xi, yi)),
+        np.asarray(z)[(3, 10, 20), (5, 11, 30)], atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bicubic_point_sample(z, xi, yi)),
+        np.asarray(z)[(3, 10, 20), (5, 11, 30)], atol=1e-12,
+    )
+    # bilinear midpoint = 4-cell average
+    mid = bilinear_point_sample(z, jnp.asarray([3.5]), jnp.asarray([5.5]))
+    expect = np.asarray(z)[3:5, 5:7].mean()
+    np.testing.assert_allclose(float(mid[0]), expect, atol=1e-12)
+
+
+# --- streaming --------------------------------------------------------------
+
+def _small_streamer(generate_craters=False):
+    conf = StreamerConf(
+        block_size=8.0, resolution=0.25, lr_resolution=2.0, num_blocks=0,
+        pad_size=2.0, seed=11,
+        crater=CraterSamplerConf(
+            densities=(0.05,), radius_ranges=((0.5, 1.0),), num_profiles=4,
+        ),
+        generate_craters=generate_craters,
+    )
+    rng = np.random.default_rng(9)
+    lr = rng.normal(size=(64, 64)).astype(np.float32).cumsum(axis=0) * 0.05
+    return TerrainStreamer(conf, lr), lr
+
+
+def test_streamer_window_and_queries():
+    streamer, lr = _small_streamer()
+    assert streamer.update((0.0, 0.0))
+    assert streamer.window.shape == (96, 96)  # 3 blocks x 32 px
+    # no shift while inside the same block
+    assert not streamer.update((1.0, 1.0))
+    # height query equals direct window sampling
+    h = float(streamer.get_height(2.0, 3.0))
+    ox, oy = streamer.window_origin()
+    px, py = (2.0 - ox) / 0.25, (3.0 - oy) / 0.25
+    expect = float(bilinear_point_sample(streamer.window, jnp.asarray(px), jnp.asarray(py)))
+    assert h == expect
+    n = np.asarray(streamer.get_normal(2.0, 3.0))
+    np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-6)
+
+
+def test_streamer_shifts_and_block_cache_consistency():
+    streamer, _ = _small_streamer()
+    streamer.update((0.0, 0.0))
+    w0 = np.asarray(streamer.window)
+    assert streamer.update((8.5, 0.0))  # next block in +x
+    w1 = np.asarray(streamer.window)
+    # shared blocks identical: w0 rows [32:96] == w1 rows [0:64]
+    np.testing.assert_array_equal(w0[32:, :], w1[:64, :])
+
+
+def test_streamer_craters_deterministic():
+    s1, _ = _small_streamer(generate_craters=True)
+    s2, _ = _small_streamer(generate_craters=True)
+    s1.update((0.0, 0.0))
+    s2.update((0.0, 0.0))
+    np.testing.assert_array_equal(np.asarray(s1.window), np.asarray(s2.window))
+    # craters actually modified the surface
+    s3, _ = _small_streamer(generate_craters=False)
+    s3.update((0.0, 0.0))
+    assert not np.allclose(np.asarray(s1.window), np.asarray(s3.window))
+
+
+# --- rocks ------------------------------------------------------------------
+
+def test_rock_sampler_blocks_and_orientation():
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(128, 128)).cumsum(axis=1) * 0.02
+    hf = HeightField.create(z, 16.0, dtype=jnp.float64)
+    conf = RockDistConf(parent_density=0.02, child_density=8, sigma=2.0,
+                        block_size=8.0, seed=67)
+    sampler = RockSampler(conf, hf)
+    block = sampler.sample_block(0, 0)
+    assert block.coordinates.shape[0] > 0
+    assert np.all(block.coordinates >= 0) and np.all(block.coordinates <= 8.0)
+    assert np.all(block.scale >= conf.scale_min - 1e-6)
+    assert np.all(block.scale <= conf.scale_max + 1e-6)
+    # quaternions are unit and rotate e_z onto the surface normal
+    qn = np.linalg.norm(block.quaternion, axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+
+    xy = jnp.asarray(block.coordinates, jnp.float64)
+    h, quat, normal = surface_orientation(hf, xy, jax.random.key(3))
+    q = np.asarray(quat)
+    x, y_, z_, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rotated e_z = R(q) @ [0,0,1]
+    rz = np.stack([
+        2 * (x * z_ + w * y_),
+        2 * (y_ * z_ - w * x),
+        1 - 2 * (x * x + y_ * y_),
+    ], axis=-1)
+    np.testing.assert_allclose(rz, np.asarray(normal), atol=1e-6)
+
+
+def test_rock_region_and_costmap_bridge():
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(128, 128)) * 0.01
+    hf = HeightField.create(z, 16.0, dtype=jnp.float64)
+    conf = RockDistConf(parent_density=0.02, child_density=5, sigma=1.0,
+                        block_size=8.0)
+    sampler = RockSampler(conf, hf)
+    region = sampler.sample_region((0.0, 0.0), block_span=1)
+    assert region.coordinates.shape[0] > 0
+    obstacles = rocks_to_obstacles(region)
+    assert obstacles.shape[1] == 3
+    assert np.all(obstacles[:, 2] >= conf.scale_min - 1e-6)
+    # db round-trip (compressed) keeps positions to float16 tolerance
+    again = sampler.sample_block(0, 0)
+    b0 = sampler.db.get((0, 0))
+    np.testing.assert_allclose(b0.coordinates, again.coordinates, atol=1e-2)
