@@ -1,0 +1,149 @@
+"""Bekker/Wong wheel terramechanics — drawbar pull, normal load, resistance
+torque per wheel from slip ratio and sinkage.
+
+Re-derivation of ``src/physics/terramechanics_solver.py:33-226``. The
+reference integrates the contact-angle stress profiles with
+``scipy.integrate.quad`` per wheel in a Python loop (and its tuple
+arithmetic around quad's (value, error) returns makes the shipped code
+WIP/not-runnable — see the commented stub at :228-233). Here the integrals
+are fixed-order Gauss-Legendre sums, vectorized over all wheels of all
+rovers under jit — deterministic and batched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+@dataclasses.dataclass
+class RobotParameter:
+    """terramechanics_solver.py RobotParameter."""
+
+    wheel_radius: float = 0.165
+    wheel_base: float = 0.25  # wheel width b
+
+
+@dataclasses.dataclass
+class TerrainMechanicalParameter:
+    """Lunar-regolith-ish Bekker/Wong parameters."""
+
+    c: float = 170.0        # cohesion [Pa]
+    phi: float = 0.6109     # internal friction angle [rad] (35 deg)
+    K: float = 0.018        # shear deformation modulus [m]
+    k_c: float = 1400.0     # cohesive modulus
+    k_phi: float = 820000.0 # frictional modulus
+    n: float = 1.0          # sinkage exponent
+    rho: float = 1660.0     # soil density [kg/m^3]
+    a_0: float = 0.4        # max-stress-angle coefficients
+    a_1: float = 0.15
+
+
+_GL_ORDER = 32
+_GL_X, _GL_W = np.polynomial.legendre.leggauss(_GL_ORDER)
+
+
+def _integrate(fn, lo: Array, hi: Array) -> Array:
+    """Vectorized fixed-order Gauss-Legendre quadrature of fn over [lo, hi];
+    lo/hi broadcast over the wheel batch."""
+    x = jnp.asarray(_GL_X, jnp.float32)
+    w = jnp.asarray(_GL_W, jnp.float32)
+    half = (hi - lo) / 2.0
+    mid = (hi + lo) / 2.0
+    theta = mid[..., None] + half[..., None] * x
+    return half * jnp.sum(fn(theta) * w, axis=-1)
+
+
+class TerramechanicsSolver:
+    """Batched wheel force/torque solver (compute_force_and_torque,
+    terramechanics_solver.py:203-226)."""
+
+    def __init__(self, robot: RobotParameter = RobotParameter(),
+                 terrain: TerrainMechanicalParameter = TerrainMechanicalParameter()):
+        self.robot = robot
+        self.terrain = terrain
+
+    def slip_ratio(self, v: Array, omega: Array) -> Array:
+        """Driving vs braking slip (terramechanics_solver.py:33-42)."""
+        r = self.robot.wheel_radius
+        wr = omega * r
+        eps = 1e-9
+        driving = 1.0 - v / (wr + eps)
+        braking = wr / (v + eps) - 1.0
+        return jnp.where(v <= wr, driving, braking)
+
+    def _sigma(self, theta, theta_f, theta_m, theta_r, sigma_max, upper):
+        """Normal stress profile, front (lower) and rear (upper) branches
+        (terramechanics_solver.py:54-84)."""
+        lower = sigma_max * (jnp.cos(theta) - jnp.cos(theta_f))
+        ratio = (theta - theta_r) / jnp.maximum(theta_m - theta_r, 1e-9)
+        upper_v = sigma_max * (
+            jnp.cos(theta_f - ratio * (theta_f - theta_m)) - jnp.cos(theta_f)
+        )
+        return jnp.where(upper, upper_v, lower)
+
+    def _tau(self, theta, theta_f, theta_m, theta_r, sigma_max, slip, upper):
+        """Shear stress via Janosi-Hanamoto (terramechanics_solver.py:86-160)."""
+        r = self.robot.wheel_radius
+        j_theta = r * (
+            theta_f - theta - (1.0 - slip) * (jnp.sin(theta_f) - jnp.sin(theta))
+        )
+        sigma = self._sigma(theta, theta_f, theta_m, theta_r, sigma_max, upper)
+        t = self.terrain
+        return (t.c + sigma * jnp.tan(t.phi)) * (
+            1.0 - jnp.exp(-j_theta / t.K)
+        )
+
+    def compute_force_and_torque(self, velocity: Array, omega: Array,
+                                 sinkage: Array):
+        """Forces (..., 3) and torques (..., 3) per wheel.
+
+        Args: velocity, omega, sinkage — any broadcastable batch shape.
+        """
+        r = self.robot.wheel_radius
+        b = self.robot.wheel_base
+        t = self.terrain
+        velocity = jnp.asarray(velocity, jnp.float32)
+        omega = jnp.broadcast_to(jnp.asarray(omega, jnp.float32), velocity.shape)
+        sinkage = jnp.broadcast_to(jnp.asarray(sinkage, jnp.float32), velocity.shape)
+
+        slip = self.slip_ratio(velocity, omega)
+        theta_f = jnp.arctan(1.0 - sinkage / r)
+        theta_r = jnp.zeros_like(theta_f)
+        theta_m = (t.a_0 + t.a_1 * slip) * theta_f
+        sigma_max = (
+            (t.c * t.k_c) + (t.rho * 9.81 * b * t.k_phi)
+        ) * (r / b) ** t.n
+
+        def expand(x):
+            return x[..., None]
+
+        args_u = (expand(theta_f), expand(theta_m), expand(theta_r),
+                  sigma_max, expand(slip), True)
+        args_l = (expand(theta_f), expand(theta_m), expand(theta_r),
+                  sigma_max, expand(slip), False)
+
+        fx = r * b * (
+            _integrate(lambda th: self._tau(th, *args_u) * jnp.cos(th), theta_r, theta_m)
+            + _integrate(lambda th: self._tau(th, *args_l) * jnp.cos(th), theta_m, theta_f)
+            - _integrate(lambda th: self._sigma(th, args_u[0], args_u[1], args_u[2], sigma_max, True) * jnp.sin(th), theta_r, theta_m)
+            - _integrate(lambda th: self._sigma(th, args_l[0], args_l[1], args_l[2], sigma_max, False) * jnp.sin(th), theta_m, theta_f)
+        )
+        fz = r * b * (
+            _integrate(lambda th: self._tau(th, *args_u) * jnp.sin(th), theta_r, theta_m)
+            + _integrate(lambda th: self._tau(th, *args_l) * jnp.sin(th), theta_m, theta_f)
+            - _integrate(lambda th: self._sigma(th, args_u[0], args_u[1], args_u[2], sigma_max, True) * jnp.cos(th), theta_r, theta_m)
+            - _integrate(lambda th: self._sigma(th, args_l[0], args_l[1], args_l[2], sigma_max, False) * jnp.cos(th), theta_m, theta_f)
+        )
+        my = (r**2) * b * (
+            _integrate(lambda th: self._tau(th, *args_u), theta_r, theta_m)
+            + _integrate(lambda th: self._tau(th, *args_l), theta_m, theta_f)
+        )
+        zeros = jnp.zeros_like(fx)
+        forces = jnp.stack([fx, zeros, fz], axis=-1)
+        torques = jnp.stack([zeros, my, zeros], axis=-1)
+        return forces, torques
