@@ -1,0 +1,177 @@
+"""CLI entry point — the ``run.py`` equivalent.
+
+Usage (Hydra-style overrides, run.py:76-87 / wiki/modes/Modes.md):
+
+    python run.py mode=standalone mppi.num_samples=1000 goal.x=45 goal.y=40
+    python run.py mode=closed_loop num_rovers=16 steps=600
+    python run.py mode=sdg sdg.num_images=10
+
+Modes:
+    standalone  — MPPI goal-seek on the regenerated 150 m map + 750-obstacle
+                  costmap (the thesis standalone experiment).
+    closed_loop — N rovers under the latched/PI full-stack loop.
+    sdg         — synthetic-data generation: randomized moonyard terrains
+                  rendered through the labeling pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _build_standalone_world(cfg, dtype):
+    import jax.numpy as jnp
+
+    from .core import HeightField
+    from .terrain import STANDALONE_CRATER_BUMPS, costmap_750, crater_surface
+
+    hw = float(cfg.get("half_width", 75.0))
+    grid = int(cfg.get("grid_size", 1500))
+    z = crater_surface(grid, hw, STANDALONE_CRATER_BUMPS, dtype=dtype)
+    hf = HeightField.create(z, hw, dtype=dtype)
+    cm = costmap_750(half_width=hw, size=int(cfg.get("costmap_size", 750)),
+                     use_exact_edt=True)
+    cm = cm._replace(cost=cm.cost.astype(dtype),
+                     half_width=cm.half_width.astype(dtype),
+                     resolution=cm.resolution.astype(dtype))
+    return hf, cm, hw
+
+
+def run_standalone(tree) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .mppi import ControllerState, MPPIConfig, RobotState, goal_seek
+    from .utils import ScopedTimer
+
+    dtype = jnp.float32
+    mppi_cfg = tree.get("mppi")
+    if not isinstance(mppi_cfg, MPPIConfig):
+        mppi_cfg = MPPIConfig(**(mppi_cfg or {}))
+    hf, cm, hw = _build_standalone_world(tree.get("world", {}), dtype)
+    start = tree.get("start", {"x": -60.0, "y": -60.0})
+    goal_d = tree.get("goal", {"x": 65.0, "y": 60.0})
+    goal = jnp.asarray([goal_d["x"], goal_d["y"]], dtype)
+    robot = RobotState.create(start["x"], start["y"], [1.0, 0.5, 0.0],
+                              dtype=dtype)
+    ctrl = ControllerState.create(mppi_cfg, dtype)
+
+    with ScopedTimer("goal_seek", active=True) as t:
+        res = goal_seek(mppi_cfg, hf, cm, goal, robot, ctrl,
+                        jax.random.key(int(tree.get("seed", 42))),
+                        max_loops=int(tree.get("max_loops", 3500)))
+        jax.block_until_ready(res.robot.position)
+    return {
+        "mode": "standalone",
+        "reached": bool(res.reached),
+        "loops": int(res.loops),
+        "final_position": np.asarray(res.robot.position).tolist(),
+        "wall_s": round(t.elapsed, 2),
+    }
+
+
+def run_closed_loop(tree) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .env import (
+        ClosedLoopConfig,
+        RoverState,
+        goal_distances,
+        init_loop_state,
+        run_episode,
+    )
+    from .mppi import MPPIConfig
+
+    dtype = jnp.float32
+    n = int(tree.get("num_rovers", 4))
+    steps = int(tree.get("steps", 300))
+    cl = tree.get("closed_loop")
+    if not isinstance(cl, ClosedLoopConfig):
+        mppi_cfg = tree.get("mppi", {"num_samples": 256, "horizon": 50})
+        if not isinstance(mppi_cfg, MPPIConfig):
+            mppi_cfg = MPPIConfig(**mppi_cfg)
+        cl = ClosedLoopConfig(mppi=mppi_cfg)
+    hf, cm, hw = _build_standalone_world(tree.get("world", {}), dtype)
+
+    rng = np.random.default_rng(int(tree.get("seed", 42)))
+    starts = rng.uniform(-40, 40, (n, 2))
+    goals = jnp.asarray(rng.uniform(-40, 40, (n, 2)), dtype)
+    rovers = RoverState.create(starts, [1.0, 0.0, 0.0], hf)
+    state = init_loop_state(cl, rovers)
+    t0 = time.perf_counter()
+    state, path = run_episode(cl, hf, cm, goals, state,
+                              jax.random.key(0), num_steps=steps)
+    jax.block_until_ready(state.rovers.position)
+    wall = time.perf_counter() - t0
+    d0 = np.linalg.norm(starts - np.asarray(goals), axis=-1)
+    d1 = np.asarray(goal_distances(state.rovers.position, goals))
+    return {
+        "mode": "closed_loop",
+        "num_rovers": n,
+        "steps": steps,
+        "mean_progress_m": float((d0 - d1).mean()),
+        "wall_s": round(wall, 2),
+        "sim_steps_per_s": round(steps / wall, 1),
+    }
+
+
+def run_sdg(tree) -> dict:
+    import jax
+
+    from .aux import AutonomousLabeling, LabelingConf
+    from .terrain.smallscale import MoonyardConf, MoonyardGenerator
+
+    sdg = tree.get("sdg", {})
+    conf = LabelingConf(**{k: v for k, v in sdg.items()
+                           if k in LabelingConf.__dataclass_fields__})
+    gen = MoonyardGenerator(MoonyardConf())
+    labeler = AutonomousLabeling(conf)
+    for _ in range(conf.num_images):
+        dem = gen.randomize()
+        labeler.record(dem, gen.conf.base.resolution)
+    return {
+        "mode": "sdg",
+        "num_images": conf.num_images,
+        "output_dir": str(labeler.run_dir),
+    }
+
+
+MODES = {
+    "standalone": run_standalone,
+    "closed_loop": run_closed_loop,
+    "sdg": run_sdg,
+}
+
+
+def main(argv=None) -> int:
+    from .aux.config import apply_overrides, instantiate_configs, load_config
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg_path = Path(__file__).parent.parent / "cfg" / "config.yaml"
+    overrides = []
+    for arg in argv:
+        if arg.startswith("--config="):
+            cfg_path = Path(arg.split("=", 1)[1])
+        else:
+            overrides.append(arg)
+    tree = load_config(cfg_path) if cfg_path.exists() else {}
+    apply_overrides(tree, overrides)
+    tree = instantiate_configs(tree)
+    mode = tree.get("mode", "standalone")
+    if mode not in MODES:
+        print(f"unknown mode {mode!r}; choose from {sorted(MODES)}",
+              file=sys.stderr)
+        return 2
+    result = MODES[mode](tree)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,103 @@
+"""Offline evaluation harness + CLI + visualization smoke tests."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from husky_rover_mppi_isaacsim_tpu.mppi.evaluation import (
+    TrajectoryLog,
+    compare_populations,
+    count_collisions,
+    load_trajectory_csv,
+    rescore_trajectory,
+    save_trajectory_csv,
+    trimmed_mean,
+)
+from husky_rover_mppi_isaacsim_tpu.terrain import as_costmap
+
+
+def _log(rng, step=1, n=50):
+    traj = np.cumsum(rng.normal(size=(n, 3)) * 0.05, axis=0)
+    traj[:, 2] *= 0.1
+    return TrajectoryLog(
+        step=step, trajectory=traj, linear_velocities=rng.uniform(0.5, 2, n),
+        start=(0.0, 0.0), goal=(10.0, 10.0),
+    )
+
+
+def test_csv_roundtrip(tmp_path, rng):
+    logs = [_log(rng, 1), _log(rng, 2)]
+    path = tmp_path / "runs.csv"
+    save_trajectory_csv(path, logs)
+    loaded = load_trajectory_csv(path)
+    assert len(loaded) == 2
+    np.testing.assert_allclose(loaded[0].trajectory, logs[0].trajectory)
+    np.testing.assert_allclose(loaded[1].linear_velocities,
+                               logs[1].linear_velocities)
+    assert loaded[0].goal == (10.0, 10.0)
+
+
+def test_rescore_and_collisions(rng):
+    cm_img = np.zeros((64, 64))
+    cm_img[30:34, 30:34] = 1.0
+    cm = as_costmap(cm_img, 10.0, dtype=jnp.float64)
+    log = _log(rng)
+    scores = rescore_trajectory(log, cm)
+    assert set(scores) == {"distance", "slope", "speed", "obstacle", "total"}
+    assert all(np.isfinite(v) for v in scores.values())
+    # trajectory through the obstacle block collides
+    hot = TrajectoryLog(
+        1, np.array([[0.0, 0.0, 0.0], [0.2, -0.2, 0.0]]),
+        np.array([1.0, 1.0]), (0.0, 0.0), (5.0, 5.0),
+    )
+    assert count_collisions(hot, cm) == 2
+
+
+def test_trimmed_mean_and_population_compare(rng):
+    vals = np.concatenate([np.full(18, 1.0), [100.0, -50.0]])
+    assert trimmed_mean(vals, 0.1) == 1.0
+    a = [{"total": 10.0 + i * 0.01} for i in range(20)]
+    b = [{"total": 9.0 + i * 0.01} for i in range(20)]
+    cmp = compare_populations(a, b)
+    assert 9 < cmp["total"]["improvement_pct"] < 11
+
+
+def test_visualize_smoke(tmp_path, rng):
+    from husky_rover_mppi_isaacsim_tpu.aux.visualize import (
+        cost_to_color_ids,
+        plot_closed_loop_run,
+        plot_costmap,
+        plot_rollout_spread,
+    )
+
+    ids = cost_to_color_ids(rng.uniform(0, 100, 100))
+    assert ids.min() >= 0 and ids.max() <= 255
+    z = rng.normal(size=(64, 64))
+    cm = (rng.random((64, 64)) > 0.95).astype(float)
+    rollouts = np.cumsum(rng.normal(size=(30, 20, 3)) * 0.1, axis=1)
+    plot_rollout_spread(z, 10.0, cm, rollouts, optimal=rollouts[0],
+                        goal=(5, 5), save_path=tmp_path / "spread.png")
+    plot_costmap(cm, 10.0, save_path=str(tmp_path / "cm.png"))
+    plot_closed_loop_run(rollouts[0, :, :2], (5, 5), z, 10.0,
+                         save_path=tmp_path / "run.png")
+    assert (tmp_path / "spread.png").exists()
+    assert (tmp_path / "cm.png").exists()
+    assert (tmp_path / "run.png").exists()
+
+
+def test_cli_sdg_and_closed_loop(tmp_path, monkeypatch):
+    from husky_rover_mppi_isaacsim_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main(["mode=sdg", "sdg.num_images=1",
+               f"sdg.data_dir={tmp_path}/sdg"])
+    assert rc == 0
+
+    rc = main([
+        "mode=closed_loop", "num_rovers=2", "steps=12",
+        "mppi.num_samples=16", "mppi.horizon=8",
+        "world.grid_size=128", "world.half_width=25.0",
+        "world.costmap_size=64",
+    ])
+    assert rc == 0
