@@ -1,0 +1,141 @@
+"""Multi-chip / multi-host scaling of the MPPI workload.
+
+BASELINE config 4: rovers + MPPI samples sharded over a pod slice with
+collective cost reduction, and a scaling-efficiency sweep. The mesh axes:
+
+* ``rover``  — data parallel: each shard owns a set of rovers (embarrassingly
+  parallel; per-rover terrain windows keep collectives off this axis);
+* ``sample`` — the MPPI sample batch; the weighted update is a single
+  ``psum`` over ICI (see ``parallel.mesh``).
+
+Multi-host bring-up: :func:`initialize_distributed` wraps
+``jax.distributed.initialize`` (DCN coordination only — the collectives ride
+ICI); host-local shards address their slice of the globally-sharded batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.heightfield import HeightField
+from ..mppi.controller import ControllerState, MPPIConfig, RobotState
+from ..mppi.critics import Costmap
+from ..mppi.sampling import sample_noise
+from .mesh import sharded_mppi_step
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None) -> None:
+    """Multi-host JAX bring-up (no-op when single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def rover_sample_mesh(num_rover_shards: int, num_sample_shards: int) -> Mesh:
+    """2D (rover, sample) mesh over the available devices."""
+    return jax.make_mesh(
+        (num_rover_shards, num_sample_shards), ("rover", "sample")
+    )
+
+
+def sharded_multi_rover_step(
+    config: MPPIConfig,
+    mesh: Mesh,
+    hf: HeightField,
+    costmap: Costmap,
+    goals,
+    robots: RobotState,
+    ctrls: ControllerState,
+    noise,
+):
+    """N rovers x K samples with rovers sharded over ``rover`` and samples
+    over ``sample``: vmap over the rover axis of the sample-sharded step."""
+
+    def per_rover(goal, robot, ctrl, noise_r):
+        from .mesh import _local_step
+
+        return _local_step(config, hf, costmap, goal, robot, ctrl, noise_r,
+                           "sample")
+
+    def body(hf_, cm_, goals_, robots_, ctrls_, noise_):
+        return jax.vmap(
+            lambda g, r, c, n: per_rover(g, r, c, n),
+            in_axes=(0, 0, 0, 0),
+        )(goals_, robots_, ctrls_, noise_)
+
+    spec_rover = P("rover")
+    out_ctrl_spec = ControllerState(
+        P("rover"), P("rover"), P("rover"), P("rover")
+    )
+    from ..mppi.controller import StepOutput
+
+    out_step_spec = StepOutput(
+        P("rover"), P("rover"), P("rover"), P("rover"), P("rover"),
+        P("rover"), P("rover", "sample"), P("rover", "sample"), None,
+    )
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), spec_rover,
+                  RobotState(*(P("rover"),) * 5),
+                  ControllerState(*(P("rover"),) * 4),
+                  P("rover", None, "sample", None)),
+        out_specs=(out_ctrl_spec, out_step_spec),
+        check_vma=False,
+    )
+    return mapped(hf, costmap, goals, robots, ctrls, noise)
+
+
+def scaling_sweep(
+    config: MPPIConfig,
+    hf: HeightField,
+    costmap: Costmap,
+    shard_counts: Sequence[int],
+    iters: int = 20,
+    dtype=jnp.float32,
+) -> dict:
+    """Sample-axis strong-scaling sweep: same global K, 1..N shards;
+    efficiency = t1 / (t_N) (same work, more devices). On a single chip the
+    sweep still validates compile + collectives via virtual devices."""
+    goal = jnp.asarray([10.0, 8.0], dtype)
+    robot = RobotState.create(-9.0, -7.0, [1.0, 0.3, 0.0], dtype=dtype)
+    ctrl = ControllerState.create(config, dtype)
+    results = {}
+    base_time = None
+    for n in shard_counts:
+        if n > jax.device_count():
+            continue
+        mesh = jax.make_mesh((n,), ("sample",))
+        noise = sample_noise(
+            jax.random.key(0), config.num_samples, config.horizon, dtype
+        )
+        noise = jax.device_put(
+            noise, NamedSharding(mesh, P(None, "sample", None))
+        )
+        step = jax.jit(functools.partial(sharded_mppi_step, config, mesh))
+        out = step(hf, costmap, goal, robot, ctrl, noise)
+        jax.block_until_ready(out[1].costs)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(hf, costmap, goal, robot, ctrl, noise)
+        jax.block_until_ready(out[1].costs)
+        dt = (time.perf_counter() - t0) / iters
+        if base_time is None:
+            base_time = dt
+        results[n] = {
+            "step_ms": dt * 1e3,
+            "efficiency": base_time / dt,
+        }
+    return results

@@ -1,0 +1,81 @@
+"""Rover x sample mesh sharding + scaling sweep on the virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from husky_rover_mppi_isaacsim_tpu.core import HeightField
+from husky_rover_mppi_isaacsim_tpu.mppi import (
+    ControllerState,
+    MPPIConfig,
+    RobotState,
+    mppi_step,
+)
+from husky_rover_mppi_isaacsim_tpu.parallel.scaling import (
+    rover_sample_mesh,
+    scaling_sweep,
+    sharded_multi_rover_step,
+)
+from husky_rover_mppi_isaacsim_tpu.terrain import as_costmap, crater_surface
+
+
+def _world(dtype=jnp.float64, hw=25.0):
+    z = crater_surface(128, hw, [((-5.0, 8.0), 1.5, 8.0)], dtype=dtype)
+    hf = HeightField.create(z, hw, dtype=dtype)
+    rng = np.random.default_rng(1)
+    cm = as_costmap(rng.uniform(0, 0.9, (16, 16)) ** 4, hw, dtype=dtype)
+    return hf, cm
+
+
+def test_rover_sample_mesh_step_matches_unsharded():
+    dtype = jnp.float64
+    hf, cm = _world(dtype)
+    config = MPPIConfig(num_samples=32, horizon=12, exact=True)
+    n_rovers = 4
+    rng = np.random.default_rng(2)
+    goals = jnp.asarray(rng.uniform(-10, 10, (n_rovers, 2)), dtype)
+    starts = rng.uniform(-10, 10, (n_rovers, 2))
+    robots = jax.vmap(
+        lambda s: RobotState.create(s[0], s[1], [1.0, 0.3, 0.0], dtype=dtype)
+    )(jnp.asarray(starts, dtype))
+    ctrl0 = ControllerState.create(config, dtype)
+    ctrls = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_rovers,) + a.shape), ctrl0
+    )
+    noise = jnp.asarray(rng.normal(size=(n_rovers, 2, 32, 12)))
+
+    mesh = rover_sample_mesh(2, 4)
+    ctrl_sh, out_sh = sharded_multi_rover_step(
+        config, mesh, hf, cm, goals, robots, ctrls, noise
+    )
+    costs_sh = np.asarray(jax.device_get(out_sh.costs))
+    u1_sh = np.asarray(jax.device_get(ctrl_sh.optimal_u1))
+    traj_sh = np.asarray(jax.device_get(out_sh.optimal_trajectory))
+
+    # reference: per-rover unsharded steps
+    for r in range(n_rovers):
+        robot_r = jax.tree.map(lambda a: a[r], robots)
+        ctrl_r = jax.tree.map(lambda a: a[r], ctrls)
+        ref_ctrl, ref_out = mppi_step(
+            config, hf, cm, goals[r], robot_r, ctrl_r, noise[r]
+        )
+        np.testing.assert_allclose(
+            costs_sh[r], np.asarray(ref_out.costs), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            u1_sh[r], np.asarray(ref_ctrl.optimal_u1), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            traj_sh[r], np.asarray(ref_out.optimal_trajectory), atol=1e-10
+        )
+
+
+def test_scaling_sweep_runs():
+    dtype = jnp.float32
+    hf, cm = _world(dtype)
+    config = MPPIConfig(num_samples=64, horizon=10, exact=False)
+    results = scaling_sweep(config, hf, cm, (1, 2, 4, 8), iters=3, dtype=dtype)
+    assert set(results) == {1, 2, 4, 8}
+    for n, row in results.items():
+        assert row["step_ms"] > 0
+        assert row["efficiency"] > 0
