@@ -69,6 +69,17 @@ def edt_exact(occupied: Array, block: int = 64) -> Array:
     return jnp.sqrt(edt_exact_sq(occupied, block=block))
 
 
+def edt_exact_sq_pallas(occupied: Array, block: int = 128,
+                        interpret: bool = False) -> Array:
+    """Exact squared L2 EDT with the stage-2 envelope as a Pallas TPU kernel
+    (see :mod:`.edt_pallas`); stage 1 (row scans) stays in XLA."""
+    from .edt_pallas import edt_minplus_pallas
+
+    g = _row_distances(occupied)
+    g2 = jnp.minimum(g * g, _BIG)
+    return edt_minplus_pallas(g2, block=block, interpret=interpret)
+
+
 def normalize_minmax(d: Array) -> Array:
     """cv2.NORM_MINMAX over the full array (MPPI_isaac.py:375)."""
     lo = jnp.min(d)
