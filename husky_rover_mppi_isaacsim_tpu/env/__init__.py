@@ -13,7 +13,15 @@ from .frames import (
     world_to_controller,
 )
 from .metrics import goal_distances, path_metrics, success_mask
-from .rover_sim import RoverParams, RoverState, reset_mask, step, teleport
+from .robot_manager import RobotManager, RobotSpec
+from .rover_sim import (
+    RoverParams,
+    RoverState,
+    contact_forces,
+    reset_mask,
+    step,
+    teleport,
+)
 
 __all__ = [
     "ClosedLoopConfig",
@@ -29,8 +37,11 @@ __all__ = [
     "goal_distances",
     "path_metrics",
     "success_mask",
+    "RobotManager",
+    "RobotSpec",
     "RoverParams",
     "RoverState",
+    "contact_forces",
     "reset_mask",
     "step",
     "teleport",

@@ -42,6 +42,9 @@ class RoverParams(NamedTuple):
     slip_std: float = 0.0         # multiplicative wheel slip noise
     v_max: float = 5.0            # hard actuator limits
     w_max: float = 4.0
+    mass: float = 46.0            # Husky body mass [kg] (for wrench/contact)
+    yaw_inertia: float = 2.6      # body yaw inertia [kg m^2]
+    gravity: float = 1.62         # lunar surface gravity [m/s^2]
 
 
 class RoverState(NamedTuple):
@@ -72,12 +75,20 @@ def step(
     cmd_left: Array,
     cmd_right: Array,
     key: Array | None = None,
+    ext_force: Array | None = None,
+    ext_torque: Array | None = None,
 ) -> RoverState:
     """Advance every rover one physics step under wheel-speed commands.
 
     Mirrors the contact semantics the controller models: the same corner
     gather / normal / tangent-projection / Rodrigues sequence as
     ``_generate_trajectories_kernel`` but at the physics rate.
+
+    ``ext_force`` (N, 3) / ``ext_torque`` (N,) are the
+    ``RobotRigidGroup.apply_force/apply_torque`` analogue
+    (src/robots/robot.py:464-479): the in-plane force component accelerates
+    the body along its heading and the z torque adds yaw rate, both for one
+    step (the reference applies a one-step PhysX wrench).
     """
     dt = params.physics_dt
     # Wheel velocity drives: exponential approach to the target.
@@ -89,8 +100,14 @@ def step(
         wl = wl * (1.0 + params.slip_std * jax.random.normal(k1, wl.shape, wl.dtype))
         wr = wr * (1.0 + params.slip_std * jax.random.normal(k2, wr.shape, wr.dtype))
 
-    lin = jnp.clip((wl + wr) / 2.0, -params.v_max, params.v_max)
-    ang = jnp.clip((-wl + wr) / params.track, -params.w_max, params.w_max)
+    lin = (wl + wr) / 2.0
+    ang = (-wl + wr) / params.track
+    if ext_force is not None:
+        lin = lin + dt * jnp.sum(ext_force * state.heading, axis=-1) / params.mass
+    if ext_torque is not None:
+        ang = ang + dt * ext_torque / params.yaw_inertia
+    lin = jnp.clip(lin, -params.v_max, params.v_max)
+    ang = jnp.clip(ang, -params.w_max, params.w_max)
 
     x, y = geom.update_position(
         state.position[:, 0], state.position[:, 1], state.heading, lin, dt
@@ -109,6 +126,25 @@ def step(
         wheel_right=wr,
         yaw_rate=ang,
     )
+
+
+def contact_forces(
+    params: RoverParams, hf: HeightField, state: RoverState
+) -> Array:
+    """Per-rover ground contact force vector (N, 3) — the analogue of
+    ``RobotRigidGroup.get_net_contact_forces`` (src/robots/robot.py:449-462).
+
+    Quasi-static proxy: the terrain supports the body weight along the local
+    surface normal, so F = m * g * cos(slope) * n where n is the quad normal
+    under the rover.  (The reference reads the PhysX contact solver; the
+    surrogate sim has no penetration, so the static normal load is the
+    physically consistent readback.)
+    """
+    x, y = state.position[:, 0], state.position[:, 1]
+    q = hfield.corners_at(hf, x, y)
+    normal = hfield.quad_normal(q, hf.resolution)
+    load = params.mass * params.gravity * normal[:, 2]
+    return normal * load[:, None]
 
 
 def teleport(
