@@ -1,6 +1,23 @@
-"""Auxiliary subsystems: config, stellar lighting, SDG labeling, profiling."""
+"""Auxiliary subsystems: config, stellar lighting, SDG labeling, profiling,
+rendering post-fx, checkpoint/resume."""
 
 from ..utils.timer import ScopedTimer, timed
+from . import checkpoint
+from .render_fx import (
+    ChromaticAberrationsConf,
+    FlaresConf,
+    MotionBlurConf,
+    RenderSettings,
+    apply_chromatic_aberrations,
+    apply_lens_flare,
+    apply_motion_blur,
+    apply_post_fx,
+    chromatic_aberration,
+    enable_RTX_interactive,
+    enable_RTX_real_time,
+    lens_flare,
+    motion_blur,
+)
 from .config import (
     ConfigFactory,
     apply_overrides,
@@ -35,4 +52,18 @@ __all__ = [
     "Date",
     "StellarEngine",
     "StellarEngineConf",
+    "checkpoint",
+    "ChromaticAberrationsConf",
+    "FlaresConf",
+    "MotionBlurConf",
+    "RenderSettings",
+    "apply_chromatic_aberrations",
+    "apply_lens_flare",
+    "apply_motion_blur",
+    "apply_post_fx",
+    "chromatic_aberration",
+    "enable_RTX_interactive",
+    "enable_RTX_real_time",
+    "lens_flare",
+    "motion_blur",
 ]

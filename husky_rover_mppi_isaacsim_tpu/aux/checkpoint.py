@@ -1,0 +1,81 @@
+"""Checkpoint / resume for simulation state.
+
+The reference has no sim-state checkpointing (SURVEY.md §5) — only
+cache-like artifacts (hashed clipmap ``.npz``, crater/rock DB
+``save_to_disk`` knobs, SDG run dirs). The TPU framework makes
+checkpointing first-class: any framework pytree (``LoopState``,
+``ControllerState``, ``RoverState``, terrain block caches) round-trips
+through one ``.npz`` file.
+
+Serialization is template-based: arrays are stored flat under their
+tree-path key, and :func:`restore` maps them back onto a caller-provided
+template pytree (same structure, any values) — no pickling of framework
+classes, so checkpoints stay loadable across refactors that keep field
+names.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _path_key(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "key"):
+            parts.append(str(p.key))
+        else:
+            parts.append(str(p))
+    return "/".join(parts) if parts else "_root"
+
+
+def save(path: str | pathlib.Path, state: Any, metadata: dict | None = None) -> None:
+    """Write a pytree checkpoint: one array per leaf, keyed by tree path."""
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    arrays = {}
+    for p, leaf in leaves:
+        arrays[_path_key(p)] = np.asarray(leaf)
+    arrays["__metadata__"] = np.frombuffer(
+        json.dumps(metadata or {}).encode(), dtype=np.uint8
+    )
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def restore(path: str | pathlib.Path, template: Any) -> tuple[Any, dict]:
+    """Load a checkpoint back onto ``template``'s structure.
+
+    Returns ``(state, metadata)``. Every leaf of ``template`` must be
+    present in the file; dtypes follow the stored arrays.
+    """
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__metadata__"].tobytes()).decode() or "{}")
+        paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for p, tmpl_leaf in paths_and_leaves:
+            key = _path_key(p)
+            if key not in data:
+                raise KeyError(f"checkpoint missing leaf {key!r}")
+            arr = data[key]
+            if hasattr(tmpl_leaf, "shape") and tuple(arr.shape) != tuple(
+                np.shape(tmpl_leaf)
+            ):
+                raise ValueError(
+                    f"checkpoint leaf {key!r} shape {arr.shape} != template "
+                    f"{np.shape(tmpl_leaf)}"
+                )
+            if isinstance(tmpl_leaf, (bool, int, float)):
+                leaves.append(type(tmpl_leaf)(arr.item()))
+            else:
+                leaves.append(jax.numpy.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta

@@ -115,8 +115,12 @@ class AutonomousLabeling:
     each ``record`` call renders the enabled modalities from the current
     terrain/rocks state and writes them to the hashed run directory."""
 
-    def __init__(self, conf: LabelingConf):
+    def __init__(self, conf: LabelingConf, render_settings=None):
         self.conf = conf
+        # Optional RTX-style post pipeline applied to the RGB modality
+        # (startSim applies lens flares / motion blur / chromatic
+        # aberrations before SDG runs, environments_wrappers/__init__.py).
+        self.render_settings = render_settings
         run_hash = hashlib.sha256(str(time.time()).encode()).hexdigest()[:10]
         self.run_dir = pathlib.Path(conf.data_dir) / run_hash
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -131,9 +135,13 @@ class AutonomousLabeling:
         z = jnp.asarray(z)
         out = {}
         if self.conf.save_rgb:
-            out["rgb"] = np.asarray(
-                hillshade(z, resolution, jnp.asarray(sun_direction, z.dtype))
-            )
+            rgb = hillshade(z, resolution, jnp.asarray(sun_direction, z.dtype))
+            if self.render_settings is not None:
+                from .render_fx import apply_post_fx
+
+                rgb3 = jnp.repeat(rgb[..., None], 3, axis=-1)
+                rgb = apply_post_fx(rgb3, self.render_settings)
+            out["rgb"] = np.asarray(rgb)
         if self.conf.save_depth:
             out["depth"] = np.asarray(z)
         if self.conf.save_normals:
