@@ -114,6 +114,11 @@ def chamfer5(binary_free: np.ndarray) -> np.ndarray:
     except ImportError:
         pass
 
+    from ..native import available as _native_available, chamfer5 as _native_chamfer5
+
+    if _native_available():
+        return _native_chamfer5(binary_free)
+
     a, b, c = 0.955, 1.3693, 2.196
     h, w = binary_free.shape
     big = np.float32(1e9)

@@ -105,30 +105,54 @@ def surface_orientation(hf: HeightField, xy: Array, key: Array):
 
 class RockDB:
     """Per-block rock storage with optional compression
-    (rock_database.py:22-400; ZFP replaced by zlib-packed float16)."""
+    (rock_database.py:22-400). Float fields compress with the native
+    fixed-accuracy codec at the reference's ZFP tolerance 1e-3
+    (utils.py:43-53) when the C++ runtime is built, else zlib-packed
+    float16."""
+
+    TOLERANCE = 1e-3
 
     def __init__(self, compress: bool = True):
         self._blocks: Dict[Tuple[int, int], object] = {}
         self.compress = compress
+        if compress:
+            from ..native import available as _native_available
 
-    @staticmethod
-    def _pack(block: RockBlock) -> dict:
+            self._native = _native_available()
+        else:
+            self._native = False
+
+    def _pack(self, block: RockBlock) -> dict:
+        if self._native:
+            from ..native import compress as ncompress
+
+            return {
+                name: ((ncompress(arr, self.TOLERANCE), "n")
+                       if arr.dtype.kind == "f"
+                       else (zlib.compress(arr.astype(np.int32).tobytes()), "i"),
+                       arr.shape)
+                for name, arr in dataclasses.asdict(block).items()
+            }
         return {
-            name: (zlib.compress(arr.astype(np.float16).tobytes())
+            name: ((zlib.compress(arr.astype(np.float16).tobytes()), "f")
                    if arr.dtype.kind == "f"
-                   else zlib.compress(arr.astype(np.int32).tobytes()),
-                   arr.shape, arr.dtype.kind)
+                   else (zlib.compress(arr.astype(np.int32).tobytes()), "i"),
+                   arr.shape)
             for name, arr in dataclasses.asdict(block).items()
         }
 
-    @staticmethod
-    def _unpack(packed: dict) -> RockBlock:
+    def _unpack(self, packed: dict) -> RockBlock:
         out = {}
-        for name, (buf, shape, kind) in packed.items():
-            raw = zlib.decompress(buf)
-            if kind == "f":
+        for name, ((buf, kind), shape) in packed.items():
+            if kind == "n":
+                from ..native import decompress as ndecompress
+
+                out[name] = ndecompress(buf, shape, self.TOLERANCE)
+            elif kind == "f":
+                raw = zlib.decompress(buf)
                 out[name] = np.frombuffer(raw, np.float16).reshape(shape).astype(np.float32)
             else:
+                raw = zlib.decompress(buf)
                 out[name] = np.frombuffer(raw, np.int32).reshape(shape)
         return RockBlock(**out)
 
