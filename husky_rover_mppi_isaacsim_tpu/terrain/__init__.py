@@ -1,4 +1,4 @@
-from . import craters, point_process, rocks, streaming, upsample
+from . import collider, craters, database, map_manager, point_process, rocks, streaming, upsample
 from .costmap import (
     as_costmap,
     costmap_750,

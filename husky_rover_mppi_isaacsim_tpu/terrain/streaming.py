@@ -164,6 +164,80 @@ class TerrainStreamer:
             radius = radius[: cc.capacity_per_block]
         self.crater_blocks[(bx, by)] = (coords, radius)
 
+    def sample_craters_by_region(self, bx0: int, bx1: int, by0: int,
+                                 by1: int) -> int:
+        """Sample crater metadata for every missing block in the region with
+        as few Poisson draws as possible: the missing set is decomposed into
+        maximal empty rectangles (one hardcore-Poisson draw per rectangle,
+        conditioned on neighboring existing craters), then split per block —
+        ``CraterSampler.sample_craters_by_region``
+        (crater_distribution.py:647-700) with the largest-empty-rectangle
+        acceleration (:532-583). Returns the number of rectangles drawn."""
+        from .database import decompose_empty_rectangles
+
+        occ = np.ones((bx1 - bx0, by1 - by0), bool)
+        for (bx, by) in self.crater_blocks:
+            if bx0 <= bx < bx1 and by0 <= by < by1:
+                occ[bx - bx0, by - by0] = False
+        occ = ~occ  # True = block already sampled
+        rects = decompose_empty_rectangles(occ)
+        cc = self.conf.crater
+        bs = self.conf.block_size
+        for r, c, hh, ww in rects:
+            rbx0, rby0 = bx0 + r, by0 + c
+            region = BoundingBox(
+                rbx0 * bs, (rbx0 + hh) * bs, rby0 * bs, (rby0 + ww) * bs
+            )
+            # condition on craters in blocks bordering the rectangle
+            prev_c, prev_r = [], []
+            for bx in range(rbx0 - 1, rbx0 + hh + 1):
+                for by in range(rby0 - 1, rby0 + ww + 1):
+                    inside = rbx0 <= bx < rbx0 + hh and rby0 <= by < rby0 + ww
+                    blk = self.crater_blocks.get((bx, by))
+                    if blk is not None and not inside:
+                        prev_c.append(blk[0])
+                        prev_r.append(blk[1])
+            prev = None
+            if prev_c:
+                prev = (np.concatenate(prev_c), np.concatenate(prev_r))
+            coords, radius = hardcore_poisson(
+                self.rng, region, cc.densities, cc.radius_ranges, prev,
+                cc.num_repeat,
+            )
+            # split the draw into per-block metadata lists
+            bix = np.floor(coords[:, 0] / bs).astype(int)
+            biy = np.floor(coords[:, 1] / bs).astype(int)
+            for bx in range(rbx0, rbx0 + hh):
+                for by in range(rby0, rby0 + ww):
+                    sel = (bix == bx) & (biy == by)
+                    c_blk = coords[sel][: cc.capacity_per_block]
+                    r_blk = radius[sel][: cc.capacity_per_block]
+                    self.crater_blocks[(bx, by)] = (c_blk, r_blk)
+        return len(rects)
+
+    def save_crater_db(self, folder: str) -> None:
+        """Persist crater metadata blocks (CraterDB save_to_disk,
+        crater_database.py:19-33)."""
+        from .database import BlockDB, BlockDBConf
+
+        db = BlockDB(BlockDBConf(block_size=self.conf.block_size,
+                                 compress=False))
+        for key, (coords, radius) in self.crater_blocks.items():
+            db.add(key, {"coordinates": coords, "radius": radius})
+        db.save_to_disk(folder)
+
+    def load_crater_db(self, folder: str) -> None:
+        from .database import BlockDB, BlockDBConf
+
+        db = BlockDB(BlockDBConf(block_size=self.conf.block_size,
+                                 compress=False))
+        db.load_from_disk(folder)
+        for key in db.keys():
+            payload = db.get(key)
+            self.crater_blocks[tuple(key)] = (
+                payload["coordinates"], payload["radius"]
+            )
+
     @property
     def _field_capacity(self) -> int:
         """Static crater capacity of one padded block raster: density x
