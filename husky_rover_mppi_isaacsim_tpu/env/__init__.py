@@ -8,6 +8,7 @@ from .closed_loop import (
 from .frames import (
     BlockFrame,
     controller_to_world,
+    ema_quat,
     heading_world_to_controller,
     rebase_on_shift,
     world_to_controller,
@@ -31,6 +32,7 @@ __all__ = [
     "run_episode",
     "BlockFrame",
     "controller_to_world",
+    "ema_quat",
     "heading_world_to_controller",
     "rebase_on_shift",
     "world_to_controller",

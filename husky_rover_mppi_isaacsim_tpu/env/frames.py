@@ -61,3 +61,18 @@ def heading_world_to_controller(heading: Array) -> Array:
     return jnp.stack(
         [heading[..., 1], -heading[..., 0], heading[..., 2]], axis=-1
     )
+
+
+def ema_quat(q1: Array, q2: Array, alpha: Array) -> Array:
+    """Hemisphere-corrected exponential-moving-average of two quaternions.
+
+    Re-derivation of ``EMAquat`` (visual_terrain_stack_full_terrain.py:14-26):
+    lerp ``q1 -> q2`` with weight ``alpha``, flipping the sign of ``alpha``
+    when the quaternions lie in opposite hemispheres (dot < 0), then
+    renormalize. Batched over leading axes; quaternions are ``(..., 4)`` in
+    the reference's (x, y, z, w) layout (the formula is layout-agnostic).
+    """
+    dot = jnp.sum(q1 * q2, axis=-1, keepdims=True)
+    a = jnp.where(dot < 0, -alpha, alpha)
+    q = q1 * (1.0 - a) + q2 * a
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)

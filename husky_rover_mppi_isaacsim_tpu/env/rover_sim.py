@@ -156,14 +156,14 @@ def teleport(
     position = jnp.asarray(position, state.position.dtype)
     heading = geom.normalize(jnp.asarray(heading, state.heading.dtype))
     z = hfield.height_at(hf, position[0], position[1])
-    zero = jnp.zeros((), state.wheel_left.dtype)
+    zero = lambda arr: arr.at[index].set(jnp.zeros((), arr.dtype))
     return RoverState(
         position=state.position.at[index].set(position),
-        z=state.z.at[index].set(z),
+        z=state.z.at[index].set(z.astype(state.z.dtype)),
         heading=state.heading.at[index].set(heading),
-        wheel_left=state.wheel_left.at[index].set(zero),
-        wheel_right=state.wheel_right.at[index].set(zero),
-        yaw_rate=state.yaw_rate.at[index].set(zero),
+        wheel_left=zero(state.wheel_left),
+        wheel_right=zero(state.wheel_right),
+        yaw_rate=zero(state.yaw_rate),
     )
 
 

@@ -1,5 +1,7 @@
 """Vectorized rover environment + closed-loop semantics."""
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -180,3 +182,46 @@ def test_success_mask_box():
     np.testing.assert_array_equal(
         np.asarray(success_mask(pos, goals)), [True, False, True]
     )
+
+
+def test_ema_quat_matches_reference_formula():
+    # Scalar NumPy mirror of EMAquat (visual_terrain_stack_full_terrain.py:14-26).
+    import math
+
+    def ref(q1, q2, alpha):
+        dot = sum(a * b for a, b in zip(q1, q2))
+        a2 = -alpha if dot < 0 else alpha
+        q = [q1[i] * (1 - a2) + q2[i] * a2 for i in range(4)]
+        s = math.sqrt(sum(v * v for v in q))
+        return [v / s for v in q]
+
+    from husky_rover_mppi_isaacsim_tpu.env import ema_quat
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        q1 = rng.normal(size=4)
+        q1 /= np.linalg.norm(q1)
+        q2 = rng.normal(size=4)
+        q2 /= np.linalg.norm(q2)
+        alpha = float(rng.uniform(0, 1))
+        got = np.asarray(ema_quat(jnp.asarray(q1), jnp.asarray(q2), alpha))
+        assert np.allclose(got, ref(list(q1), list(q2), alpha), atol=1e-12)
+    # hemisphere flip: EMA of q and -q stays at q
+    q = np.array([0.0, 0.0, 0.0, 1.0])
+    out = np.asarray(ema_quat(jnp.asarray(q), jnp.asarray(-q), 0.3))
+    assert np.allclose(out, q)
+
+
+def test_teleport_dtype_mixed_state_no_upcast():
+    # Regression: per-field dtypes survive teleport even when some fields were
+    # replaced with float64 arrays under jax_enable_x64.
+    hf, cm, hw = _world()
+    state = RoverState.create(np.zeros((3, 2)), [1.0, 0.0, 0.0], hf)
+    state = state._replace(wheel_left=jnp.ones(3, jnp.float64))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        out = teleport(state, hf, 2, jnp.asarray([1.0, 2.0]),
+                       jnp.asarray([0.0, 1.0, 0.0]))
+    assert out.wheel_left.dtype == jnp.float64
+    assert out.yaw_rate.dtype == state.yaw_rate.dtype
+    assert float(out.wheel_left[2]) == 0.0
