@@ -24,6 +24,16 @@ from pathlib import Path
 import numpy as np
 
 
+def _world_cfg(tree) -> dict:
+    """World section of the composed tree: the environment group YAMLs nest
+    it under ``environment.world``; flat ``world.*`` CLI overrides (and trees
+    loaded from an env file directly) merge on top."""
+    env = tree.get("environment", {})
+    base = dict(env.get("world", {})) if isinstance(env, dict) else {}
+    base.update(tree.get("world", {}) or {})
+    return base
+
+
 def _build_standalone_world(cfg, dtype):
     import jax.numpy as jnp
 
@@ -53,7 +63,7 @@ def run_standalone(tree) -> dict:
     mppi_cfg = tree.get("mppi")
     if not isinstance(mppi_cfg, MPPIConfig):
         mppi_cfg = MPPIConfig(**(mppi_cfg or {}))
-    hf, cm, hw = _build_standalone_world(tree.get("world", {}), dtype)
+    hf, cm, hw = _build_standalone_world(_world_cfg(tree), dtype)
     start = tree.get("start", {"x": -60.0, "y": -60.0})
     goal_d = tree.get("goal", {"x": 65.0, "y": 60.0})
     goal = jnp.asarray([goal_d["x"], goal_d["y"]], dtype)
@@ -97,7 +107,7 @@ def run_closed_loop(tree) -> dict:
         if not isinstance(mppi_cfg, MPPIConfig):
             mppi_cfg = MPPIConfig(**mppi_cfg)
         cl = ClosedLoopConfig(mppi=mppi_cfg)
-    hf, cm, hw = _build_standalone_world(tree.get("world", {}), dtype)
+    hf, cm, hw = _build_standalone_world(_world_cfg(tree), dtype)
 
     rng = np.random.default_rng(int(tree.get("seed", 42)))
     starts = rng.uniform(-40, 40, (n, 2))
@@ -161,6 +171,14 @@ def main(argv=None) -> int:
         else:
             overrides.append(arg)
     tree = load_config(cfg_path) if cfg_path.exists() else {}
+    # Hydra-style group overrides (`environment=lunalab_norobot`): swap in the
+    # named file from the group directory, then apply dotted overrides on top.
+    groups = ("environment", "rendering", "physics")
+    group_ov = [o for o in overrides if o.split("=", 1)[0] in groups]
+    overrides = [o for o in overrides if o not in group_ov]
+    for o in group_ov:
+        g, name = o.split("=", 1)
+        tree[g] = load_config(cfg_path.parent / g / f"{name}.yaml")
     apply_overrides(tree, overrides)
     tree = instantiate_configs(tree)
     mode = tree.get("mode", "standalone")

@@ -101,3 +101,35 @@ def test_cli_sdg_and_closed_loop(tmp_path, monkeypatch):
         "world.costmap_size=64",
     ])
     assert rc == 0
+
+
+def test_cli_environment_group_override(tmp_path, monkeypatch, capsys):
+    # `environment=<name>` swaps in cfg/environment/<name>.yaml (Hydra-style
+    # group override); its world section feeds the built map, while flat
+    # world.* overrides still win on top.
+    import json
+
+    from husky_rover_mppi_isaacsim_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "mode=closed_loop", "num_rovers=2", "steps=6",
+        "mppi.num_samples=16", "mppi.horizon=8",
+        "environment=lunaryard_20m", "world.costmap_size=32",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_rovers"] == 2
+
+
+def test_every_environment_yaml_composes():
+    from pathlib import Path
+
+    from husky_rover_mppi_isaacsim_tpu.aux.config import load_config
+
+    env_dir = Path(__file__).parent.parent / "cfg" / "environment"
+    names = sorted(p.stem for p in env_dir.glob("*.yaml"))
+    assert len(names) == 13, names
+    for name in names:
+        tree = load_config(env_dir / f"{name}.yaml")
+        assert "world" in tree and "half_width" in tree["world"], name
