@@ -34,7 +34,38 @@ def _world_cfg(tree) -> dict:
     return base
 
 
-def _build_standalone_world(cfg, dtype):
+def _moonyard_dem(moonyard: dict, grid: int):
+    """Small-scale env family (lunalab / lunaryard): generate the DEM with the
+    procedural moonyard stack instead of the thesis crater surface."""
+    import numpy as np
+
+    from .terrain.craters import CraterSamplerConf
+    from .terrain.smallscale import (
+        BaseTerrainGeneratorConf,
+        MoonyardConf,
+        MoonyardGenerator,
+    )
+
+    base = BaseTerrainGeneratorConf(**(moonyard.get("base") or {}))
+    ck = {k: (tuple(tuple(r) for r in v) if k == "radius_ranges"
+              else tuple(v) if k == "densities" else v)
+          for k, v in (moonyard.get("crater") or {}).items()}
+    conf = MoonyardConf(
+        base=base,
+        crater=CraterSamplerConf(**ck),
+        is_lab=bool(moonyard.get("is_lab", False)),
+        is_yard=bool(moonyard.get("is_yard", True)),
+        z_scale=float(moonyard.get("z_scale", 1.0)),
+    )
+    dem = np.asarray(MoonyardGenerator(conf).randomize())
+    # The heightfield window is square: crop/pad the (y, x) DEM to grid^2.
+    out = np.zeros((grid, grid), dem.dtype)
+    sy, sx = min(grid, dem.shape[0]), min(grid, dem.shape[1])
+    out[:sy, :sx] = dem[:sy, :sx]
+    return out
+
+
+def _build_standalone_world(cfg, dtype, moonyard=None):
     import jax.numpy as jnp
 
     from .core import HeightField
@@ -42,10 +73,22 @@ def _build_standalone_world(cfg, dtype):
 
     hw = float(cfg.get("half_width", 75.0))
     grid = int(cfg.get("grid_size", 1500))
-    z = crater_surface(grid, hw, STANDALONE_CRATER_BUMPS, dtype=dtype)
+    if moonyard:
+        z = jnp.asarray(_moonyard_dem(moonyard, grid), dtype)
+    else:
+        z = crater_surface(grid, hw, STANDALONE_CRATER_BUMPS, dtype=dtype)
     hf = HeightField.create(z, hw, dtype=dtype)
-    cm = costmap_750(half_width=hw, size=int(cfg.get("costmap_size", 750)),
-                     use_exact_edt=True)
+    size = int(cfg.get("costmap_size", 750))
+    if moonyard:
+        # No thesis obstacle field in the small-scale labs/yards: obstacle
+        # cost comes from scattered rocks when configured, else free space.
+        import numpy as np
+
+        from .terrain import as_costmap
+
+        cm = as_costmap(np.zeros((size, size), np.float32), hw, dtype=dtype)
+    else:
+        cm = costmap_750(half_width=hw, size=size, use_exact_edt=True)
     cm = cm._replace(cost=cm.cost.astype(dtype),
                      half_width=cm.half_width.astype(dtype),
                      resolution=cm.resolution.astype(dtype))
@@ -63,7 +106,9 @@ def run_standalone(tree) -> dict:
     mppi_cfg = tree.get("mppi")
     if not isinstance(mppi_cfg, MPPIConfig):
         mppi_cfg = MPPIConfig(**(mppi_cfg or {}))
-    hf, cm, hw = _build_standalone_world(_world_cfg(tree), dtype)
+    env = tree.get("environment", {})
+    moonyard = env.get("moonyard") if isinstance(env, dict) else None
+    hf, cm, hw = _build_standalone_world(_world_cfg(tree), dtype, moonyard)
     start = tree.get("start", {"x": -60.0, "y": -60.0})
     goal_d = tree.get("goal", {"x": 65.0, "y": 60.0})
     goal = jnp.asarray([goal_d["x"], goal_d["y"]], dtype)
@@ -107,11 +152,14 @@ def run_closed_loop(tree) -> dict:
         if not isinstance(mppi_cfg, MPPIConfig):
             mppi_cfg = MPPIConfig(**mppi_cfg)
         cl = ClosedLoopConfig(mppi=mppi_cfg)
-    hf, cm, hw = _build_standalone_world(_world_cfg(tree), dtype)
+    env = tree.get("environment", {})
+    moonyard = env.get("moonyard") if isinstance(env, dict) else None
+    hf, cm, hw = _build_standalone_world(_world_cfg(tree), dtype, moonyard)
 
     rng = np.random.default_rng(int(tree.get("seed", 42)))
-    starts = rng.uniform(-40, 40, (n, 2))
-    goals = jnp.asarray(rng.uniform(-40, 40, (n, 2)), dtype)
+    lim = min(40.0, 0.55 * hw)  # keep spawns + goals well inside the window
+    starts = rng.uniform(-lim, lim, (n, 2))
+    goals = jnp.asarray(rng.uniform(-lim, lim, (n, 2)), dtype)
     rovers = RoverState.create(starts, [1.0, 0.0, 0.0], hf)
     state = init_loop_state(cl, rovers)
     t0 = time.perf_counter()

@@ -148,13 +148,16 @@ class MoonyardGenerator:
             self.rng, coords, radius, cc.num_profiles, self._capacity,
             cc.min_xy_ratio, cc.max_xy_ratio,
         )
-        # render over the whole yard as a single "block" with zero padding
+        # render over the whole yard as a single "block" with zero padding;
+        # the block renderer is square, so render the enclosing square and
+        # crop to the yard shape (non-square labs, e.g. 9.6 x 6.4 m lunalab)
+        side = max(self.x_px, self.y_px)
         craters = render_crater_block(
             self.profiles, field, jnp.asarray([0.0, 0.0], jnp.float32),
             self.conf.base.resolution, self.conf.z_scale,
-            block_px=self.x_px, pad_px=0, patch_px=self._patch_px,
+            block_px=side, pad_px=0, patch_px=self._patch_px,
         )
-        return dem + craters
+        return dem + craters[: dem.shape[0], : dem.shape[1]]
 
 
 def dem_to_mesh_grid(dem: np.ndarray, resolution: float):

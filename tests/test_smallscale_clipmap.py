@@ -119,3 +119,26 @@ def test_nested_clipmap_rock_query(rng):
     assert h.shape == (2,)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1), 1.0,
                                atol=1e-6)
+
+
+def test_moonyard_non_square_lab():
+    # Regression: the 9.6 x 6.4 m lunalab (first non-square yard) must
+    # compose base noise + square-rendered crater block without shape errors.
+    from husky_rover_mppi_isaacsim_tpu.terrain.craters import CraterSamplerConf
+    from husky_rover_mppi_isaacsim_tpu.terrain.smallscale import (
+        BaseTerrainGeneratorConf,
+        MoonyardConf,
+        MoonyardGenerator,
+    )
+
+    conf = MoonyardConf(
+        base=BaseTerrainGeneratorConf(x_size=9.6, y_size=6.4, resolution=0.05),
+        crater=CraterSamplerConf(densities=(0.2,), radius_ranges=((0.2, 0.6),),
+                                 num_profiles=8),
+        is_lab=True, is_yard=False,
+    )
+    gen = MoonyardGenerator(conf)
+    dem = np.asarray(gen.randomize())
+    assert dem.shape == (gen.x_px, gen.y_px)
+    assert dem.shape[0] != dem.shape[1]
+    assert np.isfinite(dem).all()
