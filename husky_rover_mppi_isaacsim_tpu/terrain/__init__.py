@@ -1,4 +1,5 @@
 from . import collider, craters, database, map_manager, point_process, rocks, streaming, upsample
+from .orchestrator import LargeScaleConf, LargeScaleTerrainManager
 from .costmap import (
     as_costmap,
     costmap_750,

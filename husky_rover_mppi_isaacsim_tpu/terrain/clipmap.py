@@ -119,6 +119,16 @@ class Clipmap:
         self._offsets = jnp.asarray(self.layout.offsets, jnp.float32)
         self._lods = jnp.asarray(self.layout.lods)
 
+    def update_dem(self, z: Array, origin=None) -> None:
+        """Re-seat the clipmap on new DEM contents (``update_DEM``,
+        geometry_clipmaps.py:283-348 / nested_geometry_clipmaps_manager.py:
+        update_DEM): rebuild the LOD pyramid from the new array and move the
+        world origin when the window shifted. The layout (mesh backbone) is
+        untouched — only the sampled pyramid changes, so nothing recompiles."""
+        self.pyramid = build_lod_pyramid(z, self.spec.num_lods)
+        if origin is not None:
+            self.origin = origin
+
     def sample(self, center) -> Array:
         """Vertex positions (V, 3) of the clipmap centered at ``center`` —
         the ``update_geoclipmap`` equivalent (one jitted multi-LOD gather)."""

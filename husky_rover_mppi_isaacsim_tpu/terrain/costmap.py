@@ -52,15 +52,25 @@ def rasterize_obstacles(
     reference's swapped local frame: ``x_local = y_g - y0``,
     ``y_local = x_g - x0``."""
     lin = np.linspace(-half_width, half_width, size)
-    X, Y = np.meshgrid(lin, lin)
+    spacing = 2.0 * half_width / (size - 1)
     img = 255 * np.ones((size, size), dtype=np.uint8)
     x0, y0 = origin
     for xg, yg, r in obstacles:
         x_local = yg - y0
         y_local = xg - x0
         total_radius = r / 2.0 + robot_radius + margin
-        mask = (X - x_local) ** 2 + (Y - y_local) ** 2 <= total_radius**2
-        img[mask] = 0
+        # bounding-box clip: identical mask, O(disk) instead of O(size^2)
+        # per obstacle (the reference's full-grid mask is the semantic spec)
+        c0 = max(0, int(np.floor((x_local - total_radius + half_width) / spacing)))
+        c1 = min(size, int(np.ceil((x_local + total_radius + half_width) / spacing)) + 1)
+        r0 = max(0, int(np.floor((y_local - total_radius + half_width) / spacing)))
+        r1 = min(size, int(np.ceil((y_local + total_radius + half_width) / spacing)) + 1)
+        if c0 >= c1 or r0 >= r1:
+            continue
+        sub_x = lin[c0:c1][None, :]
+        sub_y = lin[r0:r1][:, None]
+        mask = (sub_x - x_local) ** 2 + (sub_y - y_local) ** 2 <= total_radius**2
+        img[r0:r1, c0:c1][mask] = 0
     return img
 
 
@@ -125,16 +135,20 @@ def update_costmap_with_obstacles(
     robot_radius: float,
     falloff_power: float = 20.0,
     use_exact_edt: bool = True,
+    origin=(0.0, 0.0),
 ):
     """Streamed-terrain costmap rebuild: rocks from the rock manager become
     obstacle disks, then the same distance-transform falloff
-    (visual_terrain_stack_full_terrain.py:546-576 rebuild path). Fully
+    (visual_terrain_stack_full_terrain.py:546-576 rebuild path;
+    ``origin`` is the window-center world coordinate the reference passes
+    as ``(block_x + half_block, block_y + half_block)`` :556-561). Fully
     on-device when ``use_exact_edt``."""
+    obstacles_xy = np.asarray(obstacles_xy).reshape(-1, 2)
     obstacles = np.concatenate(
-        [np.asarray(obstacles_xy), np.asarray(radii)[:, None]], axis=-1
+        [obstacles_xy, np.asarray(radii).reshape(-1)[:, None]], axis=-1
     )
     binary = rasterize_obstacles(
-        obstacles, half_width=half_width, size=costmap_size,
+        obstacles, origin=origin, half_width=half_width, size=costmap_size,
         robot_radius=robot_radius,
     )
     if use_exact_edt:

@@ -71,22 +71,14 @@ def sample_block_positions(rng: np.random.Generator, conf: RockDistConf,
     )
 
 
-def surface_orientation(hf: HeightField, xy: Array, key: Array):
-    """Height + random surface-tangent quaternion per point — the vectorized
-    equivalent of ``_bilinear_interpolation_and_random_orientation`` +
+def orientation_from_normal(normal: Array, key: Array, dtype=None) -> Array:
+    """Random surface-tangent quaternion (xyzw) per normal — the tangent-
+    frame half of ``_bilinear_interpolation_and_random_orientation`` +
     ``_get_random_tangent_vector`` (geometry_clipmaps_warp.py:363-422):
     vx = normalize(cross(n, random)), vy = cross(n, vx), R = [vx, vy, n].
-
-    Returns (height (N,), quaternion xyzw (N, 4), normal (N, 3)).
     """
-    from ..core import heightfield as hfield
-
-    x, y = xy[:, 0], xy[:, 1]
-    q = hfield.corners_at(hf, x, y)
-    height = hfield.bilinear(x, y, q, hf.resolution)
-    normal = hfield.quad_normal(q, hf.resolution)
-
-    rand = jax.random.uniform(key, xy.shape[:1] + (3,), xy.dtype, -1.0, 1.0)
+    dtype = dtype or normal.dtype
+    rand = jax.random.uniform(key, normal.shape[:-1] + (3,), dtype, -1.0, 1.0)
     vx = jnp.cross(normal, rand)
     vx = geom.normalize(vx)
     vy = jnp.cross(normal, vx)
@@ -99,7 +91,33 @@ def surface_orientation(hf: HeightField, xy: Array, key: Array):
     qy = (m[..., 0, 2] - m[..., 2, 0]) / (4.0 * w)
     qz = (m[..., 1, 0] - m[..., 0, 1]) / (4.0 * w)
     quat = jnp.stack([qx, qy, qz, w], axis=-1)
-    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    return quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+
+
+def surface_orientation(hf: HeightField, xy: Array, key: Array):
+    """Height + random surface-tangent quaternion per point over a fixed
+    heightfield window. Returns (height (N,), quaternion xyzw (N, 4),
+    normal (N, 3))."""
+    from ..core import heightfield as hfield
+
+    x, y = xy[:, 0], xy[:, 1]
+    q = hfield.corners_at(hf, x, y)
+    height = hfield.bilinear(x, y, q, hf.resolution)
+    normal = hfield.quad_normal(q, hf.resolution)
+    quat = orientation_from_normal(normal, key, xy.dtype)
+    return height, quat, normal
+
+
+def provider_orientation(provider, xy: np.ndarray, key: Array):
+    """Height + tangent quaternion from any world-coordinate height provider
+    exposing vectorized ``get_height(x, y)`` / ``get_normal(x, y)`` (the
+    TerrainStreamer / MapManager surface) — the rock-placement query the
+    reference routes through ``NestedGeometryClipmapManager.
+    get_height_and_random_scale`` (nested_geometry_clipmaps_manager.py:220-237)."""
+    x, y = jnp.asarray(xy[:, 0]), jnp.asarray(xy[:, 1])
+    height = provider.get_height(x, y)
+    normal = provider.get_normal(x, y)
+    quat = orientation_from_normal(normal, key)
     return height, quat, normal
 
 
@@ -175,12 +193,24 @@ class RockSampler:
     RockGenerator.sample, rock_distribution.py:518-756 /
     rock_manager.py:702-737)."""
 
-    def __init__(self, conf: RockDistConf, hf: HeightField):
+    def __init__(self, conf: RockDistConf, hf):
+        """``hf`` is either a fixed :class:`HeightField` window or any world-
+        coordinate provider with vectorized ``get_height``/``get_normal``
+        (TerrainStreamer, MapManager) — the streamed-terrain path."""
         self.conf = conf
         self.hf = hf
         self.rng = np.random.default_rng(conf.seed)
         self.db = RockDB()
         self._key = jax.random.key(conf.seed)
+
+    def _query_surface(self, xy: np.ndarray, key: Array):
+        if isinstance(self.hf, HeightField):
+            h, quat, _ = surface_orientation(
+                self.hf, jnp.asarray(xy, self.hf.z.dtype), key
+            )
+        else:
+            h, quat, _ = provider_orientation(self.hf, xy, key)
+        return h, quat
 
     def sample_block(self, bx: int, by: int) -> RockBlock:
         if (bx, by) in self.db:
@@ -193,9 +223,7 @@ class RockSampler:
         ids = self.rng.integers(0, self.conf.num_assets, n).astype(np.int32)
         self._key, sub = jax.random.split(self._key)
         if n:
-            h, quat, _ = surface_orientation(
-                self.hf, jnp.asarray(xy, self.hf.z.dtype), sub
-            )
+            h, quat = self._query_surface(xy, sub)
             h, quat = np.asarray(h), np.asarray(quat)
         else:
             h = np.zeros((0,))

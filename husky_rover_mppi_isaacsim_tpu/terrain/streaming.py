@@ -54,6 +54,7 @@ class StreamerConf:
     crater: CraterSamplerConf = dataclasses.field(default_factory=CraterSamplerConf)
     generate_craters: bool = True
     max_cached_blocks: int = 256
+    prefetch: bool = True          # travel-direction block prefetch on shift
 
     def __post_init__(self) -> None:
         assert self.block_size > 0 and self.resolution > 0
@@ -347,24 +348,75 @@ class TerrainStreamer:
     def update(self, position) -> bool:
         """Re-anchor the window so ``position`` is in its center block;
         returns True when the window shifted (update_visual_mesh trigger
-        semantics, large_scale_terrain_manager.py:202-257)."""
+        semantics, large_scale_terrain_manager.py:202-257).
+
+        Shifts roll the existing window with one ``jnp.roll`` + a
+        ``dynamic_update_slice`` per newly-exposed block — static shapes, no
+        recompiles, no O(window) host concat — the device equivalent of the
+        reference's in-array memmove ``shift_dem``
+        (high_resolution_DEM_generator.py:356-419). After each shift the next
+        band of blocks in the travel direction is built speculatively
+        (async device dispatch), replacing the reference's 8 worker
+        processes hiding crater-render latency
+        (high_resolution_DEM_workers.py:199-765)."""
         bx, by = self.block_index(position)
         n = self.conf.num_blocks + 1  # center block offset inside the window
         new_anchor = (bx - n, by - n)
         if new_anchor == self.anchor and self.window is not None:
             return False
+        old_anchor = self.anchor
         self.anchor = new_anchor
         side = self.conf.blocks_per_side
-        rows = []
-        for i in range(side):
-            row = [
-                self.build_block(self.anchor[0] + i, self.anchor[1] + j)
-                for j in range(side)
-            ]
-            rows.append(jnp.concatenate(row, axis=1))
-        self.window = jnp.concatenate(rows, axis=0)
+        bpx = self.conf.block_px
+        small_shift = (
+            self.window is not None
+            and old_anchor is not None
+            and abs(new_anchor[0] - old_anchor[0]) < side
+            and abs(new_anchor[1] - old_anchor[1]) < side
+        )
+        if not small_shift:
+            rows = []
+            for i in range(side):
+                row = [
+                    self.build_block(self.anchor[0] + i, self.anchor[1] + j)
+                    for j in range(side)
+                ]
+                rows.append(jnp.concatenate(row, axis=1))
+            self.window = jnp.concatenate(rows, axis=0)
+        else:
+            di = new_anchor[0] - old_anchor[0]
+            dj = new_anchor[1] - old_anchor[1]
+            win = jnp.roll(self.window, (-di * bpx, -dj * bpx), (0, 1))
+            for i in range(side):
+                oi = new_anchor[0] + i - old_anchor[0]
+                for j in range(side):
+                    oj = new_anchor[1] + j - old_anchor[1]
+                    if 0 <= oi < side and 0 <= oj < side:
+                        continue  # content carried over by the roll
+                    blk = self.build_block(new_anchor[0] + i, new_anchor[1] + j)
+                    win = jax.lax.dynamic_update_slice(
+                        win, blk, (i * bpx, j * bpx)
+                    )
+            self.window = win
+            if self.conf.prefetch:
+                self._prefetch(di, dj)
         self.shift_count += 1
         return True
+
+    def _prefetch(self, di: int, dj: int) -> None:
+        """Speculatively build (and cache) the band of blocks one step
+        further along the travel direction; device work is dispatched
+        asynchronously so this does not block the control loop."""
+        side = self.conf.blocks_per_side
+        a = self.anchor
+        if di:
+            row = a[0] + (side if di > 0 else -1)
+            for j in range(side):
+                self.build_block(row, a[1] + j)
+        if dj:
+            col = a[1] + (side if dj > 0 else -1)
+            for i in range(side):
+                self.build_block(a[0] + i, col)
 
     # --- queries ------------------------------------------------------------
 

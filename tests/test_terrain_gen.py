@@ -354,3 +354,59 @@ def test_rock_region_and_costmap_bridge():
     again = sampler.sample_block(0, 0)
     b0 = sampler.db.get((0, 0))
     np.testing.assert_allclose(b0.coordinates, again.coordinates, atol=1e-2)
+
+
+def test_streamer_roll_shift_matches_full_rebuild():
+    """The rolled (dynamic_update_slice) shift path composes the exact same
+    window as block-by-block assembly from the same streamer's cache, for
+    every travel direction including diagonals. (Comparing against a *fresh*
+    streamer would instead test crater-metadata draw order: the hardcore-
+    Poisson host RNG is shared across blocks in visit order, as in the
+    reference.)"""
+    for target in [(8.5, 0.0), (-8.5, 0.0), (0.0, 8.5), (8.5, -8.5)]:
+        s, _ = _small_streamer(generate_craters=True)
+        s.update((0.0, 0.0))
+        assert s.update(target)
+        side = s.conf.blocks_per_side
+        expected = np.concatenate(
+            [
+                np.concatenate(
+                    [
+                        np.asarray(s.build_block(s.anchor[0] + i, s.anchor[1] + j))
+                        for j in range(side)
+                    ],
+                    axis=1,
+                )
+                for i in range(side)
+            ],
+            axis=0,
+        )
+        np.testing.assert_array_equal(np.asarray(s.window), expected)
+
+
+def test_streamer_prefetch_populates_cache():
+    """After a +x shift the next +x band is already cached, so the following
+    +x shift builds zero new blocks."""
+    streamer, _ = _small_streamer()
+    streamer.update((0.0, 0.0))
+    streamer.update((8.5, 0.0))  # shift +x; prefetch row beyond the window
+    side = streamer.conf.blocks_per_side
+    next_row = streamer.anchor[0] + side
+    for j in range(side):
+        assert (next_row, streamer.anchor[1] + j) in streamer.block_cache
+
+    builds_before = len(streamer.block_cache)
+    calls = []
+    orig = streamer.build_block
+
+    def counting_build(bx, by):
+        if (bx, by) not in streamer.block_cache:
+            calls.append((bx, by))
+        return orig(bx, by)
+
+    streamer.build_block = counting_build
+    streamer.update((17.0, 0.0))  # second +x shift: band is prefetched
+    window_calls = [
+        c for c in calls if c[0] < streamer.anchor[0] + side
+    ]
+    assert window_calls == []  # every window block came from cache
