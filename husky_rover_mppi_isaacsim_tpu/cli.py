@@ -200,9 +200,80 @@ def run_sdg(tree) -> dict:
     }
 
 
+def run_largescale(tree) -> dict:
+    """The full-stack streamed-terrain closed loop
+    (visual_terrain_stack_full_terrain.py:293-582): MPPI drives a rover
+    across procedurally streamed terrain with block-shift window re-seating,
+    rocks->costmap refresh and frame rebasing."""
+    import dataclasses as _dc
+
+    from .env.largescale_loop import LargeScaleClosedLoop, LargeScaleLoopConf
+    from .env.closed_loop import ClosedLoopConfig
+    from .mppi import MPPIConfig
+    from .physics.deformation import DeformationEngineConf
+    from .terrain.orchestrator import LargeScaleConf
+    from .terrain.rocks import RockDistConf
+
+    env = tree.get("environment", {})
+    ls = dict(env.get("largescale", {}) or tree.get("largescale", {}) or {})
+    fields = {f.name for f in _dc.fields(LargeScaleConf)}
+    kw = {k: v for k, v in ls.items() if k in fields}
+    for key in ("crater_gen_densities",):
+        if key in kw:
+            kw[key] = tuple(kw[key])
+    if "crater_gen_radius" in kw:
+        kw["crater_gen_radius"] = tuple(tuple(r) for r in kw["crater_gen_radius"])
+    if "rock_gen_cfgs" in kw:
+        kw["rock_gen_cfgs"] = tuple(
+            c if isinstance(c, RockDistConf) else RockDistConf(**c)
+            for c in kw["rock_gen_cfgs"]
+        )
+    terrain = LargeScaleConf(**kw)
+
+    mppi_cfg = tree.get("mppi")
+    if not isinstance(mppi_cfg, MPPIConfig):
+        mppi_cfg = MPPIConfig(**(mppi_cfg or {}))
+    start = tree.get("start", {"x": 0.0, "y": 0.0})
+    goal = tree.get("goal", {"x": 65.0, "y": 65.0})
+    deform = None
+    if tree.get("deformation", {}).get("enable"):
+        deform = DeformationEngineConf(
+            terrain_resolution=terrain.hr_dem_resolution
+        )
+    conf = LargeScaleLoopConf(
+        terrain=terrain,
+        loop=ClosedLoopConfig(mppi=mppi_cfg),
+        start=(start["x"], start["y"]),
+        goal=(goal["x"], goal["y"]),
+        max_steps=int(tree.get("max_steps", 20000)),
+        terrain_check_every=int(tree.get("terrain_check_every", 3)),
+        seed=int(tree.get("seed", 42)),
+        deform=deform,
+    )
+    loop = LargeScaleClosedLoop(conf)
+    res = loop.run()
+    lat = res.shift_latencies_s
+    return {
+        "mode": "largescale",
+        "reached": bool(res.reached),
+        "steps": res.steps,
+        "block_shifts": res.block_shifts,
+        "costmap_rebuilds": res.costmap_rebuilds,
+        "distance_m": round(res.distance_m, 2),
+        "final_position": [round(v, 3) for v in res.final_position],
+        "wall_s": round(res.wall_s, 2),
+        "sim_steps_per_s": round(res.steps / res.wall_s, 1),
+        "shift_latency_ms": {
+            "mean": round(1e3 * float(np.mean(lat)), 2) if lat else None,
+            "max": round(1e3 * float(np.max(lat)), 2) if lat else None,
+        },
+    }
+
+
 MODES = {
     "standalone": run_standalone,
     "closed_loop": run_closed_loop,
+    "largescale": run_largescale,
     "sdg": run_sdg,
 }
 

@@ -13,6 +13,11 @@ from .frames import (
     rebase_on_shift,
     world_to_controller,
 )
+from .largescale_loop import (
+    LargeScaleClosedLoop,
+    LargeScaleLoopConf,
+    LargeScaleRunResult,
+)
 from .metrics import goal_distances, path_metrics, success_mask
 from .robot_manager import RobotManager, RobotSpec
 from .rover_sim import (
@@ -36,6 +41,9 @@ __all__ = [
     "heading_world_to_controller",
     "rebase_on_shift",
     "world_to_controller",
+    "LargeScaleClosedLoop",
+    "LargeScaleLoopConf",
+    "LargeScaleRunResult",
     "goal_distances",
     "path_metrics",
     "success_mask",

@@ -1,0 +1,317 @@
+"""Streamed-terrain full-stack closed loop — the TPU re-design of
+``visual_terrain_stack_full_terrain.py:293-582``, the reference's headline
+demo: an MPPI-driven rover crossing procedurally streamed lunar terrain.
+
+The reference composes LargeScaleTerrainManager + a PhysX Husky + the Warp
+MPPI controller, with three pieces of glue this module reproduces:
+
+* the controller runs in the **rotated block-local frame**
+  (``ctrl.x = world.y - oy``, ``ctrl.y = -(world.x - ox)`` with
+  ``(ox, oy) = block + half_block``, :436-455, :492-497) — under that
+  rotation the controller's ``Z[j, i]`` indexing maps exactly onto the
+  streamer window layout (row = world x, col = world y), so the live window
+  array seats directly as the MPPI heightfield (:423-431);
+* commands are **latched every 3rd sim step with a PI yaw-rate trim**
+  (:477-511) — reused from :mod:`.closed_loop` (same semantics, N=1);
+* on every **block shift** (:546-576): the heightfield re-seats on the
+  shifted window, the costmap rebuilds from the streamed ``rocks_data``
+  at the new origin, and robot history + goal rebase by ``(-dy, +dx)``
+  in the controller frame.
+
+Everything inside a step is one jitted program over static shapes: the
+window array changes contents on shift, coordinates rebase, nothing
+recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.heightfield import HeightField
+from ..mppi.controller import MPPIConfig
+from ..mppi.critics import Costmap
+from ..physics.deformation import DeformationEngine, DeformationEngineConf
+from ..terrain.costmap import update_costmap_with_obstacles
+from ..terrain.orchestrator import LargeScaleConf, LargeScaleTerrainManager
+from . import closed_loop, frames
+from .closed_loop import ClosedLoopConfig, LoopState
+from .rover_sim import RoverState
+
+
+@dataclasses.dataclass
+class LargeScaleLoopConf:
+    """Full-stack run configuration (the ``__main__`` parameters of
+    visual_terrain_stack_full_terrain.py:377-455)."""
+
+    terrain: LargeScaleConf = dataclasses.field(default_factory=LargeScaleConf)
+    loop: ClosedLoopConfig = dataclasses.field(default_factory=ClosedLoopConfig)
+    start: tuple = (0.0, 0.0)          # world (x, y) (:377-379)
+    goal: tuple = (65.0, 65.0)         # world goal (:420-421)
+    costmap_robot_radius: float = 0.3  # Surface radius_robot (:449)
+    costmap_falloff: float = 20.0      # (1-d)^20 (MPPI_isaac.py:374-377)
+    goal_tolerance: float = 0.5        # |dx|,|dy| stop box (MPPI_isaac.py:795)
+    max_steps: int = 20000
+    terrain_check_every: int = 3       # sim steps between terrain-update polls
+    seed: int = 42
+    deform: Optional[DeformationEngineConf] = None  # wheel-track deformation
+    wheelbase: float = 0.512  # Husky front<->rear wheel separation (m)
+
+    @property
+    def costmap_size(self) -> int:
+        """costmap = DEM grid / 8 (MPPI_isaac.py:271-272)."""
+        return self.terrain.streamer_conf.window_px // 8
+
+
+@dataclasses.dataclass
+class LargeScaleRunResult:
+    reached: bool
+    steps: int
+    block_shifts: int
+    distance_m: float
+    final_position: tuple
+    wall_s: float
+    shift_latencies_s: List[float]
+    costmap_rebuilds: int
+    path_world: np.ndarray  # (T, 2)
+
+
+class LargeScaleClosedLoop:
+    """Host driver seating the jitted closed loop on the streamed window."""
+
+    def __init__(self, conf: LargeScaleLoopConf):
+        self.conf = conf
+        self.lstm = LargeScaleTerrainManager(conf.terrain)
+        self.lstm.build()
+        streamer = self.lstm.map_manager.streamer
+        self.window_half = streamer.conf.window_size / 2.0
+        self.half_block = streamer.conf.block_size / 2.0
+
+        # controller frame anchored at the current center block (:432-444)
+        bx, by = self.lstm.get_hr_map_current_block_coordinates()
+        self.block_x, self.block_y = bx, by
+        self.frame = frames.BlockFrame(
+            block_x=jnp.asarray(bx, jnp.float32),
+            block_y=jnp.asarray(by, jnp.float32),
+            half_block=jnp.asarray(self.half_block, jnp.float32),
+        )
+
+        self.hf = self._window_heightfield()
+        self.costmap = self._build_costmap()
+        self._step_fn = jax.jit(closed_loop.closed_loop_step, static_argnums=0)
+        self.deform_engine = (
+            DeformationEngine(conf.deform) if conf.deform is not None else None
+        )
+
+    # -- window / costmap seating ---------------------------------------------
+
+    def _window_heightfield(self) -> HeightField:
+        """Seat the MPPI heightfield on the live streamed window (:423-431).
+        Controller frame is window-centered, so half_width = window/2 and the
+        raw window array is Z (row = x = controller j, col = y = controller i
+        under the rotated frame)."""
+        return HeightField.create(
+            self.lstm.map_manager.streamer.window, self.window_half
+        )
+
+    def _build_costmap(self) -> Costmap:
+        """Costmap from the streamed rocks at the current window origin
+        (:448-449, :559-563)."""
+        origin = (self.block_x + self.half_block, self.block_y + self.half_block)
+        obstacles = self.lstm.extract_rocks_data()
+        if obstacles.shape[0] == 0:
+            # degenerate free-space window: zero cost everywhere (the minmax
+            # normalization of the distance transform is undefined)
+            size = self.conf.costmap_size
+            from ..terrain.costmap import as_costmap
+
+            return as_costmap(np.zeros((size, size), np.float32),
+                              self.window_half)
+        cm = update_costmap_with_obstacles(
+            self.conf.costmap_size,
+            self.window_half,
+            obstacles[:, :2],
+            obstacles[:, 2],
+            self.conf.costmap_robot_radius,
+            falloff_power=self.conf.costmap_falloff,
+            origin=origin,
+        )
+        return cm
+
+    # -- frame plumbing --------------------------------------------------------
+
+    def _initial_state(self) -> LoopState:
+        cx, cy = frames.world_to_controller(
+            self.frame,
+            jnp.asarray(self.conf.start[0], jnp.float32),
+            jnp.asarray(self.conf.start[1], jnp.float32),
+        )
+        # world +x heading in the rotated frame (:440, :493: [h.y, -h.x, h.z])
+        heading = frames.heading_world_to_controller(
+            jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+        )
+        rovers = RoverState.create(
+            jnp.stack([cx, cy])[None, :], heading[None, :], self.hf
+        )
+        return closed_loop.init_loop_state(self.conf.loop, rovers)
+
+    def _goal_ctrl(self) -> jnp.ndarray:
+        gx, gy = frames.world_to_controller(
+            self.frame,
+            jnp.asarray(self.conf.goal[0], jnp.float32),
+            jnp.asarray(self.conf.goal[1], jnp.float32),
+        )
+        return jnp.stack([gx, gy])[None, :]
+
+    def _world_position(self, state: LoopState) -> tuple:
+        cx = state.rovers.position[0, 0]
+        cy = state.rovers.position[0, 1]
+        x, y = frames.controller_to_world(self.frame, cx, cy)
+        return float(x), float(y)
+
+    # -- block-shift rebasing (:546-576) ---------------------------------------
+
+    def _on_block_shift(self, state: LoopState, goal_ctrl) -> tuple:
+        bx, by = self.lstm.get_hr_map_current_block_coordinates()
+        shift_x = bx - self.block_x
+        shift_y = by - self.block_y
+        self.block_x, self.block_y = bx, by
+        self.frame = frames.BlockFrame(
+            block_x=jnp.asarray(bx, jnp.float32),
+            block_y=jnp.asarray(by, jnp.float32),
+            half_block=jnp.asarray(self.half_block, jnp.float32),
+        )
+        # re-seat the controller on the live window + rebuilt costmap
+        self.hf = self._window_heightfield()
+        self.costmap = self._build_costmap()
+        # rebase controller-frame points by (-dy, +dx) (:569-575)
+        sx = jnp.asarray(shift_x, jnp.float32)
+        sy = jnp.asarray(shift_y, jnp.float32)
+        new_pos = frames.rebase_on_shift(state.rovers.position, sx, sy)
+        state = state._replace(rovers=state.rovers._replace(position=new_pos))
+        goal_ctrl = frames.rebase_on_shift(goal_ctrl, sx, sy)
+        return state, goal_ctrl, (shift_x, shift_y)
+
+    # -- deformation (simulation_manager_ros2.py:231-233 semantics) ------------
+
+    def _apply_deformation(self, state: LoopState) -> None:
+        """Stamp the rover's four wheel footprints into the live window
+        (DeformationEngine.deform from robot contacts,
+        simulation_manager_ros2.py:231-233 + deformation_engine.py:695-721)
+        so subsequent control loops see the deformed heights."""
+        streamer = self.lstm.map_manager.streamer
+        cx = float(state.rovers.position[0, 0])
+        cy = float(state.rovers.position[0, 1])
+        wx, wy = frames.controller_to_world(self.frame, cx, cy)
+        wx, wy = float(wx), float(wy)
+        h = state.rovers.heading[0]
+        # heading back to world frame: inverse of [h.y, -h.x, h.z]
+        hx, hy = -float(h[1]), float(h[0])
+        yaw = np.arctan2(hy, hx)
+        track = self.conf.loop.rover.track
+        wb = self.conf.wheelbase
+        # four wheel contact points in world frame
+        fwd = np.array([hx, hy])
+        left = np.array([-hy, hx])
+        body = np.array([wx, wy])
+        positions = np.stack([
+            body + fwd * wb / 2 + left * track / 2,
+            body + fwd * wb / 2 - left * track / 2,
+            body - fwd * wb / 2 + left * track / 2,
+            body - fwd * wb / 2 - left * track / 2,
+        ])
+        # quasi-static per-wheel normal load (rover_sim.contact_forces model)
+        force = self.conf.loop.rover.mass * self.conf.loop.rover.gravity / 4.0
+        ox, oy = streamer.window_origin()
+        new_window, self._deform_counts = self.deform_engine.deform_window(
+            streamer.window,
+            self._deform_counts,
+            streamer.conf.resolution,
+            (float(ox), float(oy)),
+            positions,
+            np.full(4, yaw),
+            np.full(4, force),
+        )
+        streamer.window = new_window
+        self.hf = self._window_heightfield()
+
+    # -- main loop (:466-576) ---------------------------------------------------
+
+    def run(self, record_path: bool = True) -> LargeScaleRunResult:
+        conf = self.conf
+        state = self._initial_state()
+        goal_ctrl = self._goal_ctrl()
+        key = jax.random.key(conf.seed)
+        if self.deform_engine is not None:
+            self._deform_counts = jnp.zeros_like(
+                self.lstm.map_manager.streamer.window, jnp.int32
+            )
+
+        path: List[tuple] = []
+        shift_latencies: List[float] = []
+        costmap_rebuilds = 0
+        block_shifts = 0
+        steps = 0
+        reached = False
+        t0 = time.perf_counter()
+        goal_w = np.asarray(conf.goal, np.float64)
+
+        while steps < conf.max_steps:
+            for _ in range(conf.terrain_check_every):
+                key, sub = jax.random.split(key)
+                state = self._step_fn(
+                    conf.loop, self.hf, self.costmap, goal_ctrl, state, sub
+                )
+                steps += 1
+            if self.deform_engine is not None:
+                self._apply_deformation(state)
+
+            wx, wy = self._world_position(state)
+            if record_path:
+                path.append((wx, wy))
+            if (abs(wx - goal_w[0]) < conf.goal_tolerance
+                    and abs(wy - goal_w[1]) < conf.goal_tolerance):
+                reached = True
+                break
+
+            # terrain cascade (update gate lives inside the orchestrator)
+            local = (wx - conf.terrain.starting_position[0],
+                     wy - conf.terrain.starting_position[1])
+            self.lstm.update_visual_mesh(local)
+
+            bx, by = self.lstm.get_hr_map_current_block_coordinates()
+            if (bx, by) != (self.block_x, self.block_y):
+                t_shift = time.perf_counter()
+                state, goal_ctrl, _ = self._on_block_shift(state, goal_ctrl)
+                jax.block_until_ready(self.hf.z)
+                jax.block_until_ready(self.costmap.cost)
+                shift_latencies.append(time.perf_counter() - t_shift)
+                if self.deform_engine is not None:
+                    # deformation pass counts do not survive a window shift
+                    # (fresh blocks replace the deformed band)
+                    self._deform_counts = jnp.zeros_like(
+                        self.lstm.map_manager.streamer.window, jnp.int32
+                    )
+                costmap_rebuilds += 1
+                block_shifts += 1
+
+        wall = time.perf_counter() - t0
+        self.last_state = state  # exposed for tests / introspection
+        wx, wy = self._world_position(state)
+        start = np.asarray(conf.start, np.float64)
+        return LargeScaleRunResult(
+            reached=reached,
+            steps=steps,
+            block_shifts=block_shifts,
+            distance_m=float(np.linalg.norm(goal_w - start)),
+            final_position=(wx, wy),
+            wall_s=wall,
+            shift_latencies_s=shift_latencies,
+            costmap_rebuilds=costmap_rebuilds,
+            path_world=np.asarray(path) if path else np.zeros((0, 2)),
+        )

@@ -195,3 +195,46 @@ class DeformationEngine:
         dem = dem.at[y, x].add(depth * decay)
         num_pass = num_pass.at[y, x].add(1)
         return dem, num_pass
+
+    def deform_window(self, window: Array, num_pass: Array, resolution: float,
+                      origin, positions, yaws, normal_forces):
+        """Stamp footprints into a *streamed world window* (row = world x,
+        col = world y — the TerrainStreamer layout) instead of the fixed
+        small-scale lab grid of :meth:`deform`.
+
+        This is the streamed-terrain deformation path the reference applies
+        from robot contacts each sim tick (simulation_manager_ros2.py:231-233
+        -> deformation_engine.py:695-721), retargeted at the live HR window.
+
+        Args:
+            window: (H, W) heights, row = world x, col = world y.
+            num_pass: (H, W) int32 per-pixel pass counts.
+            resolution: window meters/px.
+            origin: world coordinate of window pixel [0, 0].
+            positions: (n, 2) world xy per link (wheel).
+            yaws: (n,) world yaw per link (rad).
+            normal_forces: (n,) contact normal force per link.
+        Returns (window', num_pass').
+        """
+        positions = jnp.asarray(positions, jnp.float32)
+        yaws = jnp.asarray(yaws, jnp.float32)
+        # quaternion components that reproduce the reference's heading
+        # extraction (hx = 2 q0 q3 = sin yaw, hy = 1 - 2 q3^2 = cos yaw)
+        half = yaws / 2.0
+        quats = jnp.stack(
+            [jnp.cos(half), jnp.zeros_like(half), jnp.zeros_like(half),
+             jnp.sin(half)], axis=-1
+        )
+        pts = self.footprint_in_global(positions, quats)
+        depth = self.deformation_depth(jnp.asarray(normal_forces, jnp.float32))
+        ox, oy = origin
+        r = jnp.trunc((pts[:, 0] - ox) / resolution).astype(jnp.int32)
+        c = jnp.trunc((pts[:, 1] - oy) / resolution).astype(jnp.int32)
+        r = jnp.clip(r, 0, window.shape[0] - 1)
+        c = jnp.clip(c, 0, window.shape[1] - 1)
+        decay = self.conf.constrain.deform_decay_ratio ** num_pass[r, c].astype(
+            jnp.float32
+        )
+        window = window.at[r, c].add(depth * decay)
+        num_pass = num_pass.at[r, c].add(1)
+        return window, num_pass

@@ -212,16 +212,29 @@ class RockSampler:
             h, quat, _ = provider_orientation(self.hf, xy, key)
         return h, quat
 
+    def _block_rng(self, bx: int, by: int) -> np.random.Generator:
+        """Per-block generator keyed by (seed, block): block contents are
+        deterministic regardless of visit order — the same build-order
+        independence the crater metadata has (streaming.py _block_field),
+        strictly stronger than the reference's shared visit-order RNG."""
+        return np.random.default_rng(
+            (self.conf.seed, 0x52C3, bx & 0xFFFFFFFF, by & 0xFFFFFFFF)
+        )
+
     def sample_block(self, bx: int, by: int) -> RockBlock:
         if (bx, by) in self.db:
             return self.db.get((bx, by))
-        xy = sample_block_positions(self.rng, self.conf, bx, by)
+        rng = self._block_rng(bx, by)
+        xy = sample_block_positions(rng, self.conf, bx, by)
         n = xy.shape[0]
-        scale_xyz = self.rng.uniform(
+        scale_xyz = rng.uniform(
             self.conf.scale_min, self.conf.scale_max, (n, 1)
         ) * np.ones((1, 3))
-        ids = self.rng.integers(0, self.conf.num_assets, n).astype(np.int32)
-        self._key, sub = jax.random.split(self._key)
+        ids = rng.integers(0, self.conf.num_assets, n).astype(np.int32)
+        sub = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(self.conf.seed), bx & 0xFFFF),
+            by & 0xFFFF,
+        )
         if n:
             h, quat = self._query_surface(xy, sub)
             h, quat = np.asarray(h), np.asarray(quat)
