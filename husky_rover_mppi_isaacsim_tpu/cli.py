@@ -298,6 +298,18 @@ def main(argv=None) -> int:
     for o in group_ov:
         g, name = o.split("=", 1)
         tree[g] = load_config(cfg_path.parent / g / f"{name}.yaml")
+    # mode is a config group too (reference cfg/mode/{ROS1,ROS2,SDG}.yaml):
+    # `mode=X` merges cfg/mode/X.yaml (losing to later dotted overrides).
+    for o in list(overrides):
+        if o.startswith("mode="):
+            mode_file = cfg_path.parent / "mode" / f"{o.split('=', 1)[1]}.yaml"
+            if mode_file.exists():
+                for k, v in load_config(mode_file).items():
+                    if isinstance(v, dict) and isinstance(tree.get(k), dict):
+                        tree[k].update(v)
+                    else:
+                        tree[k] = v
+                overrides.remove(o)
     apply_overrides(tree, overrides)
     tree = instantiate_configs(tree)
     mode = tree.get("mode", "standalone")

@@ -135,6 +135,37 @@ def avoid_obstacle_critic(trajectory: Array, costmap: Costmap) -> Array:
     return jnp.sum(hit + cell, axis=-1)
 
 
+def goal_angle_critic(
+    x: Array, y: Array, goal: Array, goal_orientation: Array,
+    trajectory: Array,
+) -> Array:
+    """Terminal-orientation critic (``_goal_angle_critic``,
+    critics_warp.py:4-40) — kept but **unused in the production sum**,
+    exactly like the reference. Within 0.5 m of the goal: |atan(dy/dx) -
+    goal_orientation| of the last trajectory segment (note ``atan``, not
+    atan2 — the reference's quirk, kept)."""
+    dist = jnp.sqrt((x - goal[0]) ** 2 + (y - goal[1]) ** 2)
+    p0 = trajectory[..., -2, :]
+    p1 = trajectory[..., -1, :]
+    ang = jnp.arctan((p1[..., 1] - p0[..., 1]) / (p1[..., 0] - p0[..., 0]))
+    return jnp.where(dist < 0.5, jnp.abs(ang - goal_orientation), 0.0)
+
+
+def path_orientation_critic(
+    x: Array, y: Array, goal: Array, trajectory: Array
+) -> Array:
+    """Progress-direction critic (``_path_orientation_critic``,
+    critics_warp.py:43-82) — kept but **unused in the production sum**, like
+    the reference: penalize rollouts whose last segment points away from the
+    goal by the (negated) scalar product normalized by the L1 goal offset."""
+    x_diff = goal[0] - x
+    y_diff = goal[1] - y
+    p0 = trajectory[..., -2, :]
+    p1 = trajectory[..., -1, :]
+    sp = x_diff * (p1[..., 0] - p0[..., 0]) + y_diff * (p1[..., 1] - p0[..., 1])
+    return jnp.where(sp <= 0, -sp / (jnp.abs(x_diff) + jnp.abs(y_diff)), 0.0)
+
+
 def maximise_speed_critic(
     x: Array,
     y: Array,

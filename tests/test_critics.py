@@ -105,3 +105,50 @@ def test_total_cost_and_weights(rng):
     o1_o, o2_o = wo.weighted_update(w_o, u1, u2)
     np.testing.assert_allclose(np.asarray(o1), o1_o, atol=1e-12)
     np.testing.assert_allclose(np.asarray(o2), o2_o, atol=1e-12)
+
+
+def test_goal_angle_critic_reference_semantics():
+    """critics_warp.py:4-40: zero beyond 0.5 m of the goal; |atan(dy/dx) -
+    goal_orientation| of the last segment inside (atan quirk kept)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from husky_rover_mppi_isaacsim_tpu.mppi.critics import goal_angle_critic
+
+    goal = jnp.asarray([0.0, 0.0])
+    traj = jnp.asarray(
+        [[[-1.0, -1.0, 0.0], [-0.5, -0.5, 0.0], [0.0, 0.0, 0.0]]]
+    )
+    # far from goal -> 0
+    far = goal_angle_critic(jnp.asarray(5.0), jnp.asarray(5.0), goal,
+                            jnp.asarray(1.0), traj)
+    np.testing.assert_allclose(np.asarray(far), [0.0])
+    # near goal: last segment slope atan(0.5/0.5) = pi/4
+    near = goal_angle_critic(jnp.asarray(0.1), jnp.asarray(0.1), goal,
+                             jnp.asarray(1.0), traj)
+    np.testing.assert_allclose(np.asarray(near), [abs(np.arctan(1.0) - 1.0)],
+                               rtol=1e-6)
+
+
+def test_path_orientation_critic_reference_semantics():
+    """critics_warp.py:43-82: zero when the last segment points toward the
+    goal; -scalar_product / L1(goal offset) when pointing away."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from husky_rover_mppi_isaacsim_tpu.mppi.critics import (
+        path_orientation_critic,
+    )
+
+    goal = jnp.asarray([10.0, 0.0])
+    toward = jnp.asarray([[[0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [1.0, 0.0, 0.0]]])
+    away = jnp.asarray([[[1.0, 0.0, 0.0], [0.5, 0.0, 0.0], [0.0, 0.0, 0.0]]])
+    x = jnp.asarray(0.0)
+    y = jnp.asarray(0.0)
+    np.testing.assert_allclose(
+        np.asarray(path_orientation_critic(x, y, goal, toward)), [0.0]
+    )
+    # sp = 10 * (-0.5) = -5 -> penalty 5 / 10 = 0.5
+    np.testing.assert_allclose(
+        np.asarray(path_orientation_critic(x, y, goal, away)), [0.5]
+    )
