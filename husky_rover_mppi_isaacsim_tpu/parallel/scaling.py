@@ -139,3 +139,29 @@ def scaling_sweep(
             "efficiency": base_time / dt,
         }
     return results
+
+
+def write_scaling_report(path, results: dict, config: MPPIConfig,
+                         note: str = "") -> dict:
+    """Persist a scaling sweep as a JSON artifact (the BENCH-style record the
+    BASELINE multi-host target is judged against). Includes device/provenance
+    metadata so virtual-mesh numbers are never mistaken for hardware scaling."""
+    import json
+    import multiprocessing
+
+    report = {
+        "metric": "mppi_strong_scaling",
+        "config": {"num_samples": config.num_samples,
+                   "horizon": config.horizon},
+        "devices": {
+            "backend": jax.default_backend(),
+            "device_count": jax.device_count(),
+            "device_kind": jax.devices()[0].device_kind,
+            "host_physical_cores": multiprocessing.cpu_count(),
+        },
+        "results": {str(k): v for k, v in results.items()},
+        "note": note,
+    }
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    return report

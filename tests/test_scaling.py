@@ -70,12 +70,44 @@ def test_rover_sample_mesh_step_matches_unsharded():
         )
 
 
-def test_scaling_sweep_runs():
+def test_scaling_sweep_persists_report():
+    """Sweep 1->8 virtual devices on a large batch and persist SCALING.json.
+
+    On the CI host the 8 'devices' share the same few physical cores, so
+    wall-clock 'efficiency' measures the XLA threadpool, not hardware
+    scaling — the report says so explicitly (hardware numbers come from a
+    real pod). What IS asserted: the sharded step never collapses (collective
+    overhead bounded) and the sweep covers every shard count."""
+    import multiprocessing
+    from pathlib import Path
+
+    from husky_rover_mppi_isaacsim_tpu.parallel.scaling import (
+        write_scaling_report,
+    )
+
     dtype = jnp.float32
     hf, cm = _world(dtype)
-    config = MPPIConfig(num_samples=64, horizon=10, exact=False)
-    results = scaling_sweep(config, hf, cm, (1, 2, 4, 8), iters=3, dtype=dtype)
+    config = MPPIConfig(num_samples=4096, horizon=16, exact=False)
+    results = scaling_sweep(config, hf, cm, (1, 2, 4, 8), iters=5, dtype=dtype)
     assert set(results) == {1, 2, 4, 8}
+    cores = multiprocessing.cpu_count()
     for n, row in results.items():
         assert row["step_ms"] > 0
-        assert row["efficiency"] > 0
+        # sharding a large batch must not catastrophically degrade the step:
+        # collective overhead stays bounded even on an oversubscribed host
+        assert row["efficiency"] > 0.3, (n, row)
+    if cores >= 8:
+        # only meaningful when every virtual device has a physical core
+        assert results[8]["efficiency"] >= 0.8, results
+    report = write_scaling_report(
+        Path(__file__).parent.parent / "SCALING.json", results, config,
+        note=(
+            "8 virtual CPU devices on a "
+            f"{cores}-core host: validates sharded compile + collectives + "
+            "numerics; wall-clock efficiency reflects core oversubscription, "
+            "not ICI scaling. Cross-process equality: tests/"
+            "test_distributed.py; single-vs-sharded bit equality: "
+            "tests/test_sharding.py and __graft_entry__.dryrun_multichip."
+        ),
+    )
+    assert report["results"]["8"]["step_ms"] > 0
