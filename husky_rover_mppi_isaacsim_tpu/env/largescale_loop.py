@@ -104,9 +104,34 @@ class LargeScaleClosedLoop:
         self.hf = self._window_heightfield()
         self.costmap = self._build_costmap()
         self._step_fn = jax.jit(closed_loop.closed_loop_step, static_argnums=0)
+        self._chunk_fn = self._make_chunk_fn()
         self.deform_engine = (
             DeformationEngine(conf.deform) if conf.deform is not None else None
         )
+
+    def _make_chunk_fn(self):
+        """One jitted program per terrain-check interval: `terrain_check_every`
+        closed-loop steps as a ``lax.scan`` with on-device key derivation —
+        a single dispatch + a single position readback per interval, which is
+        what keeps the loop fast over a high-latency device link."""
+        loop_conf = self.conf.loop
+        n = self.conf.terrain_check_every
+
+        def chunk(hf, cm, goal, state, base_key, idx):
+            k = jax.random.fold_in(base_key, idx)
+            keys = jax.random.split(k, n)
+
+            def body(carry, kk):
+                return (
+                    closed_loop.closed_loop_step(loop_conf, hf, cm, goal,
+                                                 carry, kk),
+                    None,
+                )
+
+            state, _ = jax.lax.scan(body, state, keys)
+            return state
+
+        return jax.jit(chunk)
 
     # -- window / costmap seating ---------------------------------------------
 
@@ -169,10 +194,12 @@ class LargeScaleClosedLoop:
         return jnp.stack([gx, gy])[None, :]
 
     def _world_position(self, state: LoopState) -> tuple:
-        cx = state.rovers.position[0, 0]
-        cy = state.rovers.position[0, 1]
-        x, y = frames.controller_to_world(self.frame, cx, cy)
-        return float(x), float(y)
+        """One device->host transfer for the rover's world position."""
+        cx, cy = np.asarray(jax.device_get(state.rovers.position[0]))
+        ox = float(self.block_x) + self.half_block
+        oy = float(self.block_y) + self.half_block
+        # inverse of the rotated frame (frames.controller_to_world, host-side)
+        return -float(cy) + ox, float(cx) + oy
 
     # -- block-shift rebasing (:546-576) ---------------------------------------
 
@@ -205,11 +232,12 @@ class LargeScaleClosedLoop:
         simulation_manager_ros2.py:231-233 + deformation_engine.py:695-721)
         so subsequent control loops see the deformed heights."""
         streamer = self.lstm.map_manager.streamer
-        cx = float(state.rovers.position[0, 0])
-        cy = float(state.rovers.position[0, 1])
-        wx, wy = frames.controller_to_world(self.frame, cx, cy)
-        wx, wy = float(wx), float(wy)
-        h = state.rovers.heading[0]
+        pos, h = jax.device_get(
+            (state.rovers.position[0], state.rovers.heading[0])
+        )
+        ox_f = float(self.block_x) + self.half_block
+        oy_f = float(self.block_y) + self.half_block
+        wx, wy = -float(pos[1]) + ox_f, float(pos[0]) + oy_f
         # heading back to world frame: inverse of [h.y, -h.x, h.z]
         hx, hy = -float(h[1]), float(h[0])
         yaw = np.arctan2(hy, hx)
@@ -261,13 +289,14 @@ class LargeScaleClosedLoop:
         t0 = time.perf_counter()
         goal_w = np.asarray(conf.goal, np.float64)
 
+        chunk_idx = 0
         while steps < conf.max_steps:
-            for _ in range(conf.terrain_check_every):
-                key, sub = jax.random.split(key)
-                state = self._step_fn(
-                    conf.loop, self.hf, self.costmap, goal_ctrl, state, sub
-                )
-                steps += 1
+            state = self._chunk_fn(
+                self.hf, self.costmap, goal_ctrl, state, key,
+                np.int32(chunk_idx),
+            )
+            steps += conf.terrain_check_every
+            chunk_idx += 1
             if self.deform_engine is not None:
                 self._apply_deformation(state)
 
