@@ -104,6 +104,63 @@ def bench_vec_env(hf, num_rovers=4096, steps=200, warmup=20):
     return dt, num_rovers / dt
 
 
+def bench_goal_seek(hf, cm, max_loops=800):
+    """Sustained end-to-end control rate: the full goal-seek
+    ``lax.while_loop`` (MPPI step + kinematic advance per loop, sequential
+    dependency, zero host syncs) — BASELINE row 1 'per control loop'
+    semantics rather than an isolated, pipelineable step."""
+    from husky_rover_mppi_isaacsim_tpu.mppi import goal_seek
+
+    dtype = hf.z.dtype
+    config = MPPIConfig(num_samples=1000, horizon=100, exact=False)
+    goal = jnp.asarray([65.0, 60.0], dtype)
+    robot = RobotState.create(-60.0, -60.0, [1.0, 0.5, 0.0], dtype=dtype)
+    ctrl = ControllerState.create(config, dtype)
+
+    run = jax.jit(
+        lambda r, c, k: goal_seek(config, hf, cm, goal, r, c, k,
+                                  max_loops=max_loops),
+        donate_argnums=(),
+    )
+    res = jax.block_until_ready(run(robot, ctrl, jax.random.key(0)))  # compile
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(run(robot, ctrl, jax.random.key(1)))
+    dt = time.perf_counter() - t0
+    loops = int(res.loops)
+    return dt / loops, loops / dt, loops
+
+
+def bench_closed_loop(hf, cm, num_rovers=1, steps=300):
+    """Full-stack closed-loop env rate (latched/PI loop + rover physics +
+    MPPI per sim step, run_episode lax.scan) — the
+    visual_terrain_stack-equivalent sim-steps/s."""
+    from husky_rover_mppi_isaacsim_tpu.env import (
+        ClosedLoopConfig,
+        RoverState,
+        init_loop_state,
+        run_episode,
+    )
+
+    dtype = hf.z.dtype
+    cl = ClosedLoopConfig(mppi=MPPIConfig(num_samples=1000, horizon=100))
+    rng = np.random.default_rng(0)
+    starts = rng.uniform(-40, 40, (num_rovers, 2))
+    goals = jnp.asarray(rng.uniform(-40, 40, (num_rovers, 2)), dtype)
+    rovers = RoverState.create(starts, [1.0, 0.0, 0.0], hf)
+    state = init_loop_state(cl, rovers)
+
+    def run(state, key):
+        s, _ = run_episode(cl, hf, cm, goals, state, key, num_steps=steps)
+        return s
+
+    runj = jax.jit(run)
+    jax.block_until_ready(runj(state, jax.random.key(0)).rovers.position)
+    t0 = time.perf_counter()
+    jax.block_until_ready(runj(state, jax.random.key(1)).rovers.position)
+    dt = (time.perf_counter() - t0) / steps
+    return dt, 1.0 / dt
+
+
 def main():
     hf, cm = build_world()
     # Reference workload: K=1000, H=100 (config.yaml).
@@ -111,6 +168,8 @@ def main():
     # Large batched config (BASELINE config 1): 16k x 64.
     loop_s_big, steps_per_s_big = bench_config(hf, cm, 16384, 64, iters=20)
     env_dt, env_steps_per_s = bench_vec_env(hf)
+    gs_loop_s, gs_loops_per_s, gs_loops = bench_goal_seek(hf, cm)
+    cl_dt, cl_steps_per_s = bench_closed_loop(hf, cm)
 
     best = max(steps_per_s, steps_per_s_big)
     result = {
@@ -125,6 +184,11 @@ def main():
             "k16384_h64_steps_per_s": round(steps_per_s_big, 1),
             "vec_env_4096_step_us": round(env_dt * 1e6, 2),
             "vec_env_rover_steps_per_s": round(env_steps_per_s, 1),
+            "goal_seek_loop_ms": round(gs_loop_s * 1e3, 4),
+            "goal_seek_loops_per_s": round(gs_loops_per_s, 1),
+            "goal_seek_loops": gs_loops,
+            "closed_loop_step_ms": round(cl_dt * 1e3, 4),
+            "closed_loop_steps_per_s": round(cl_steps_per_s, 1),
             "device": str(jax.devices()[0]),
         },
     }
