@@ -179,6 +179,45 @@ def run_closed_loop(tree) -> dict:
     }
 
 
+def _render_settings_from_cfg(tree):
+    """cfg/rendering group -> RenderSettings, the ``startSim`` parity path
+    (src/environments_wrappers/__init__.py:96-135 applies lens flares /
+    chromatic aberrations / motion blur from the rendering config before
+    the SDG loop runs)."""
+    from .aux.render_fx import (
+        ChromaticAberrationsConf,
+        FlaresConf,
+        MotionBlurConf,
+        RenderSettings,
+        apply_chromatic_aberrations,
+        apply_lens_flare,
+        apply_motion_blur,
+    )
+
+    rend = tree.get("rendering") or {}
+    if not isinstance(rend, dict):
+        return None
+    settings = RenderSettings()
+    fl = dict(rend.get("flares") or {})
+    ca = dict(rend.get("chromatic_aberration") or {})
+    mb = dict(rend.get("motion_blur") or {})
+    if "strength" in ca:
+        ca["strength"] = tuple(ca["strength"])
+    apply_lens_flare(
+        FlaresConf(**{k: v for k, v in fl.items()
+                      if k in FlaresConf.__dataclass_fields__}), settings)
+    apply_chromatic_aberrations(
+        ChromaticAberrationsConf(
+            **{k: v for k, v in ca.items()
+               if k in ChromaticAberrationsConf.__dataclass_fields__}),
+        settings)
+    apply_motion_blur(
+        MotionBlurConf(**{k: v for k, v in mb.items()
+                          if k in MotionBlurConf.__dataclass_fields__}),
+        settings)
+    return settings
+
+
 def run_sdg(tree) -> dict:
     import jax
 
@@ -189,7 +228,7 @@ def run_sdg(tree) -> dict:
     conf = LabelingConf(**{k: v for k, v in sdg.items()
                            if k in LabelingConf.__dataclass_fields__})
     gen = MoonyardGenerator(MoonyardConf())
-    labeler = AutonomousLabeling(conf)
+    labeler = AutonomousLabeling(conf, _render_settings_from_cfg(tree))
     for _ in range(conf.num_images):
         dem = gen.randomize()
         labeler.record(dem, gen.conf.base.resolution)

@@ -147,3 +147,38 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
         checkpoint.restore(path, {"a": jnp.zeros((4,))})
     with pytest.raises(KeyError):
         checkpoint.restore(path, {"b": jnp.zeros((3,))})
+
+
+def test_cli_rendering_group_drives_sdg_postfx(tmp_path, capsys):
+    """The cfg/rendering group actually changes SDG output: with chromatic
+    aberration enabled the recorded RGB differs from the effects-off run
+    (startSim parity: the rendering config is applied before the SDG loop)."""
+    import json
+
+    import numpy as np
+    import yaml
+
+    from husky_rover_mppi_isaacsim_tpu import cli
+
+    def run(rendering, out_dir):
+        cfg = {
+            "mode": "sdg",
+            "sdg": {"num_images": 1, "data_dir": str(out_dir)},
+            "rendering": rendering,
+        }
+        path = tmp_path / f"{out_dir.name}.yaml"
+        path.write_text(yaml.safe_dump(cfg))
+        assert cli.main([f"--config={path}"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        run_dir = list(out_dir.iterdir())[0]
+        rgbs = sorted(run_dir.glob("rgb_*.npy")) + sorted(run_dir.glob("*.npy"))
+        return np.load(rgbs[0])
+
+    plain = run({"flares": {"enable": False}}, tmp_path / "plain")
+    fx = run(
+        {"chromatic_aberration": {"enable": True,
+                                  "strength": [-0.2, 0.1, 0.25]}},
+        tmp_path / "fx",
+    )
+    assert plain.shape == fx.shape
+    assert not np.allclose(plain, fx)
