@@ -59,6 +59,15 @@ class MPPIConfig:
     exact: bool = False              # True: lax.scan wheel lag (oracle parity)
                                      # False: MXU Toeplitz matmul
     return_rollouts: bool = False    # include all K trajectories in the output
+    # Terrain/costmap read engine. "direct": XLA gathers (serialized on TPU,
+    # ~12-40 ns/element — fine on CPU, slow on chip). "onehot": MXU one-hot
+    # selection over a reach-covering patch (core/patch.py) — bit-identical
+    # results, 10-40x faster on TPU whenever patch_size covers the horizon
+    # reach (H*dt*v_max + wheel offset, MPPI_isaac.py:440). Caller picks per
+    # resolution: patch_size cells must be >= 2*reach/resolution + margin.
+    gather_engine: str = "direct"    # "direct" | "onehot"
+    patch_size: int = 256            # DEM patch cells (onehot engine)
+    costmap_patch_size: int = 128    # costmap patch cells (onehot engine)
 
     @property
     def horizon_m(self) -> float:
@@ -141,6 +150,25 @@ def mppi_step(
     track = jnp.asarray(config.robot_radius, noise.dtype)
     horizon_m = jnp.asarray(config.horizon_m, noise.dtype)
 
+    # Terrain-read engine: optionally swap the window for a reach-covering
+    # patch whose lookups run on the MXU (bit-identical; core/patch.py).
+    cm_patch = None
+    if config.gather_engine == "onehot":
+        from ..core import patch as patch_mod
+
+        hf = patch_mod.extract_patch(
+            hf, robot.position[0], robot.position[1], config.patch_size
+        )
+        ic = jnp.trunc(
+            (robot.position[0] + costmap.half_width) / costmap.resolution
+        ).astype(jnp.int32)
+        jc = jnp.trunc(
+            (-robot.position[1] + costmap.half_width) / costmap.resolution
+        ).astype(jnp.int32)
+        cm_patch = patch_mod.extract_grid_patch(
+            costmap.cost, ic, jc, config.costmap_patch_size
+        )
+
     # 1. Receding-horizon input perturbation (sampling_warp.py:54-92).
     u1, u2 = perturb(
         ctrl.optimal_u1, ctrl.optimal_u2, noise, ctrl.std_u1, ctrl.std_u2,
@@ -170,7 +198,7 @@ def mppi_step(
     costs = crit.evaluate_trajectories(
         robot.position[0], robot.position[1], goal, traj, lw, rw, lin,
         jnp.asarray(config.limits.v_max, noise.dtype), costmap, horizon_m,
-        config.critic_weights,
+        config.critic_weights, costmap_patch=cm_patch,
     )
 
     # 5. Importance weights + weighted optimal inputs (critics_warp.py:338-376).

@@ -120,17 +120,32 @@ def avoid_slope_wheels_critic(left_wheel: Array, right_wheel: Array) -> Array:
     )
 
 
-def avoid_obstacle_critic(trajectory: Array, costmap: Costmap) -> Array:
-    """Costmap lookup per waypoint with collision penalty
-    (critics_warp.py:220-267): nearest-cell (truncated) gather; cells with
-    cost > 0.99 add 1e5 each."""
+def costmap_cells(trajectory: Array, costmap: Costmap) -> tuple[Array, Array]:
+    """Waypoint -> costmap cell indices (critics_warp.py:245-248)."""
     ix = jnp.trunc(
         (trajectory[..., 0] + costmap.half_width) / costmap.resolution
     ).astype(jnp.int32)
     iy = jnp.trunc(
         (-trajectory[..., 1] + costmap.half_width) / costmap.resolution
     ).astype(jnp.int32)
-    cell = costmap.cost[iy, ix]
+    return ix, iy
+
+
+def avoid_obstacle_critic(
+    trajectory: Array, costmap: Costmap, costmap_patch=None
+) -> Array:
+    """Costmap lookup per waypoint with collision penalty
+    (critics_warp.py:220-267): nearest-cell (truncated) gather; cells with
+    cost > 0.99 add 1e5 each. With ``costmap_patch`` (a ``core.patch
+    .GridPatch`` over the same costmap) the lookup runs as MXU one-hot
+    selection instead of a serialized gather — bit-identical values."""
+    ix, iy = costmap_cells(trajectory, costmap)
+    if costmap_patch is not None:
+        from ..core import patch as patch_mod
+
+        cell = patch_mod.grid_lookup(costmap_patch, ix, iy)
+    else:
+        cell = costmap.cost[iy, ix]
     hit = jnp.where(cell > 0.99, 1e5, 0.0)
     return jnp.sum(hit + cell, axis=-1)
 
@@ -196,6 +211,7 @@ def evaluate_trajectories(
     costmap: Costmap,
     horizon_m: Array,
     weights: CriticWeights = CriticWeights(),
+    costmap_patch=None,
 ) -> Array:
     """Total per-sample cost (``_evaluate_trajectories_kernel``,
     critics_warp.py:302-329)."""
@@ -206,7 +222,9 @@ def evaluate_trajectories(
     cost = cost + weights.speed * maximise_speed_critic(
         x, y, goal, linear_velocities, target_speed
     )
-    cost = cost + weights.obstacle * avoid_obstacle_critic(trajectory, costmap)
+    cost = cost + weights.obstacle * avoid_obstacle_critic(
+        trajectory, costmap, costmap_patch
+    )
     return cost
 
 

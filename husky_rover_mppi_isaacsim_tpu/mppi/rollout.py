@@ -25,9 +25,30 @@ from jax import Array
 
 from ..core import geometry as geom
 from ..core import heightfield as hfield
+from ..core import patch as patch_mod
 from ..core.heightfield import HeightField
+from ..core.patch import PatchField
 
 WHEEL_OFFSET = 0.2  # m, lateral wheel-track offset (projection_warp.py:333)
+
+
+def _field_ops(hf):
+    """Terrain-read ops for either a HeightField (direct XLA gathers) or a
+    PatchField (MXU one-hot selection — bit-identical values, see
+    core/patch.py). Dispatch is static at trace time."""
+    if isinstance(hf, PatchField):
+        corners = lambda x, y: patch_mod.corners_at(hf, x, y)
+        wheels = lambda lx, ly, rx, ry: patch_mod.nearest_height_pair(
+            hf, lx, ly, rx, ry)
+        height = lambda x, y: patch_mod.height_at(hf, x, y)
+    else:
+        corners = lambda x, y: hfield.corners_at(hf, x, y)
+        wheels = lambda lx, ly, rx, ry: (
+            hfield.nearest_height(hf, lx, ly),
+            hfield.nearest_height(hf, rx, ry),
+        )
+        height = lambda x, y: hfield.height_at(hf, x, y)
+    return corners, wheels, height
 
 
 class Rollout(NamedTuple):
@@ -66,10 +87,11 @@ def rollout_25d(
     horizon = lin.shape[-1]
     pos = jnp.broadcast_to(jnp.asarray(position, lin.dtype), batch + (2,))
     hv = jnp.broadcast_to(jnp.asarray(heading, lin.dtype), batch + (3,))
+    corners, wheels, _ = _field_ops(hf)
 
     # Pre-loop init: project the shared heading onto the start-cell plane
     # (projection_warp.py:306-310).
-    q0 = hfield.corners_at(hf, pos[..., 0], pos[..., 1])
+    q0 = corners(pos[..., 0], pos[..., 1])
     n0 = hfield.quad_normal(q0, hf.resolution)
     prev = hfield.tangent_project(n0, hv)
 
@@ -78,7 +100,7 @@ def rollout_25d(
         lin_k, ang_k = inputs
 
         x, y = geom.update_position(pos[..., 0], pos[..., 1], prev, lin_k, dt)
-        q = hfield.corners_at(hf, x, y)
+        q = corners(x, y)
         height = hfield.bilinear(x, y, q, hf.resolution)
         normal = hfield.quad_normal(q, hf.resolution)
         prev = hfield.tangent_project(normal, prev)
@@ -90,9 +112,10 @@ def rollout_25d(
         # (projection_warp.py:332-348).
         right = WHEEL_OFFSET * jnp.cross(normal, current)
         lx, ly = x + right[..., 0], y + right[..., 1]
-        lw = jnp.stack([lx, ly, hfield.nearest_height(hf, lx, ly)], axis=-1)
         rx, ry = x - right[..., 0], y - right[..., 1]
-        rw = jnp.stack([rx, ry, hfield.nearest_height(hf, rx, ry)], axis=-1)
+        lz, rz = wheels(lx, ly, rx, ry)
+        lw = jnp.stack([lx, ly, lz], axis=-1)
+        rw = jnp.stack([rx, ry, rz], axis=-1)
 
         new_pos = jnp.stack([x, y], axis=-1)
         return (new_pos, current), (traj, current, lw, rw)
@@ -119,13 +142,14 @@ def rollout_2d(
     horizon = lin.shape[-1]
     pos = jnp.broadcast_to(jnp.asarray(position, lin.dtype), batch + (2,))
     prev = jnp.broadcast_to(jnp.asarray(heading, lin.dtype), batch + (3,))
+    _, _, height_at = _field_ops(hf)
 
     def step(carry, inputs):
         pos, prev = carry
         lin_k, ang_k = inputs
         x, y = geom.update_position(pos[..., 0], pos[..., 1], prev, lin_k, dt)
         current = geom.update_orientation_2d(prev, ang_k, dt)
-        height = hfield.height_at(hf, x, y)
+        height = height_at(x, y)
         traj = jnp.stack([x, y, height], axis=-1)
         return (jnp.stack([x, y], axis=-1), current), (traj, current)
 
