@@ -34,6 +34,14 @@ control loop; offsets are traced values, so nothing recompiles as the robot
 moves. At very fine resolutions (the 2.5 cm streamed window) the required
 patch grows and the MXU cost ~P^2 overtakes the serialized gathers — callers
 choose per resolution (`MPPIConfig.gather_engine`).
+
+Precondition — finite values: one-hot selection computes ``0 * cell`` for
+every unselected cell, so a single NaN/Inf anywhere in the patch poisons
+every output (``0 * inf = nan``), whereas direct indexing only returns the
+non-finite value when that cell is selected. Terrain windows and costmaps in
+this framework are finite by construction; callers feeding arbitrary grids
+through :class:`GridPatch` must sanitize non-finite cells first
+(``jnp.nan_to_num``).
 """
 
 from __future__ import annotations
@@ -57,9 +65,16 @@ class PatchField(NamedTuple):
     the patch inside the parent grid and ``parent_cols/parent_rows`` the
     parent's clamp bounds, so lookups reproduce the direct path's
     edge-extension clamping bit-for-bit.
+
+    ``z3`` (float32 parents only) is the exact 3-way bfloat16 split of ``z``
+    (hi/mid/lo, summing back bit-exactly): selection matmuls then run as
+    three 1-pass bf16 MXU products instead of XLA's 6-pass
+    ``Precision.HIGHEST`` decomposition — same bits, half the MXU passes,
+    because the one-hot operand is already exact in bf16 and needs no split.
     """
 
     z: Array          # (P, P) patch heights
+    z3: Array | None  # (3, P, P) bf16 exact split of z, or None for f64
     i0: Array         # int32 column offset of patch column 0 in the parent
     j0: Array         # int32 row offset of patch row 0 in the parent
     parent_rows: int  # static parent grid extents (clamp bounds)
@@ -71,6 +86,21 @@ class PatchField(NamedTuple):
     @property
     def size(self) -> int:
         return self.z.shape[-1]
+
+
+def split3(z: Array) -> Array | None:
+    """Exact 3-way bf16 decomposition of a float32 array: ``hi + mid + lo``
+    reconstructs every value bit-exactly (8+8+8 mantissa bits >= f32's 24;
+    each residual subtraction is exact in f32). Returns None for dtypes where
+    plain matmul selection is already exact (f64 runs off-MXU)."""
+    if z.dtype != jnp.float32:
+        return None
+    hi = z.astype(jnp.bfloat16)
+    r1 = z - hi.astype(z.dtype)
+    mid = r1.astype(jnp.bfloat16)
+    r2 = r1 - mid.astype(z.dtype)
+    lo = r2.astype(jnp.bfloat16)
+    return jnp.stack([hi, mid, lo])
 
 
 def extract_patch(hf: HeightField, x: Array, y: Array, size: int) -> PatchField:
@@ -89,7 +119,7 @@ def extract_patch(hf: HeightField, x: Array, y: Array, size: int) -> PatchField:
     j0 = jnp.clip(jc - size // 2, 0, rows - size)
     z = jax.lax.dynamic_slice(hf.z, (j0, i0), (size, size))
     return PatchField(
-        z=z, i0=i0, j0=j0, parent_rows=rows, parent_cols=cols,
+        z=z, z3=split3(z), i0=i0, j0=j0, parent_rows=rows, parent_cols=cols,
         x_min=hf.x_min, y_min=hf.y_min, resolution=hf.resolution,
     )
 
@@ -100,12 +130,23 @@ def _onehot(idx: Array, size: int, dtype) -> Array:
     return (iota == idx[..., None]).astype(dtype)
 
 
-def _rows(pf: PatchField, j_patch: Array) -> Array:
-    """Select rows ``j_patch`` of the patch on the MXU: ``batch + (P,)``.
+def _select_rows(z: Array, z3: Array | None, size: int, j: Array) -> Array:
+    """Row selection as a matmul, bit-exact two ways: for f32, three 1-pass
+    bf16 MXU products against the exact hi/mid/lo split summed in the
+    reconstruction-exact order; otherwise a HIGHEST-precision matmul."""
+    if z3 is None:
+        oh = _onehot(j, size, z.dtype)
+        return jnp.matmul(oh, z, precision=_HIGHEST)
+    oh = _onehot(j, size, jnp.bfloat16)
+    acc = jnp.matmul(oh, z3[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.matmul(oh, z3[1], preferred_element_type=jnp.float32)
+    acc = acc + jnp.matmul(oh, z3[2], preferred_element_type=jnp.float32)
+    return acc
 
-    Bit-exact under Precision.HIGHEST (see module docstring)."""
-    oh = _onehot(j_patch, pf.size, pf.z.dtype)
-    return jnp.matmul(oh, pf.z, precision=_HIGHEST)
+
+def _rows(pf: PatchField, j_patch: Array) -> Array:
+    """Select rows ``j_patch`` of the patch on the MXU: ``batch + (P,)``."""
+    return _select_rows(pf.z, pf.z3, pf.size, j_patch)
 
 
 def _col(select_rows: Array, i_patch: Array, size: int) -> Array:
@@ -192,6 +233,7 @@ class GridPatch(NamedTuple):
     cells — the caller owns the meters→cell formula."""
 
     z: Array
+    z3: Array | None
     i0: Array
     j0: Array
     parent_rows: int
@@ -211,7 +253,8 @@ def extract_grid_patch(grid: Array, ic: Array, jc: Array, size: int) -> GridPatc
     i0 = jnp.clip(ic - size // 2, 0, cols - size)
     j0 = jnp.clip(jc - size // 2, 0, rows - size)
     z = jax.lax.dynamic_slice(grid, (j0, i0), (size, size))
-    return GridPatch(z=z, i0=i0, j0=j0, parent_rows=rows, parent_cols=cols)
+    return GridPatch(z=z, z3=split3(z), i0=i0, j0=j0,
+                     parent_rows=rows, parent_cols=cols)
 
 
 def grid_lookup(gp: GridPatch, i: Array, j: Array) -> Array:
@@ -221,6 +264,5 @@ def grid_lookup(gp: GridPatch, i: Array, j: Array) -> Array:
     j_cl = _normalize_index(j, gp.parent_rows)
     ip = jnp.clip(i_cl - gp.i0, 0, gp.size - 1)
     jp = jnp.clip(j_cl - gp.j0, 0, gp.size - 1)
-    oh = _onehot(jp, gp.size, gp.z.dtype)
-    rows = jnp.matmul(oh, gp.z, precision=_HIGHEST)
+    rows = _select_rows(gp.z, gp.z3, gp.size, jp)
     return _col(rows, ip, gp.size)

@@ -68,11 +68,48 @@ class MPPIConfig:
     gather_engine: str = "direct"    # "direct" | "onehot"
     patch_size: int = 256            # DEM patch cells (onehot engine)
     costmap_patch_size: int = 128    # costmap patch cells (onehot engine)
+    # Reach-adaptive patch chunking: serve early horizon steps (which cannot
+    # yet have traveled far) from smaller patches — one-hot selection cost
+    # scales with patch area, so a 128-cell first chunk runs at 1/4 the MXU
+    # cost of a 256-cell patch. Bit-identical; needs a concrete resolution.
+    chunk_patches: bool = True
+    # Static resolution hints for when the field resolutions are traced
+    # (e.g. under jit with donated heightfields); None = read from the field
+    # when it is concrete, else fall back to a single unchunked patch.
+    dem_resolution: float | None = None
+    costmap_resolution: float | None = None
+
+    def __post_init__(self):
+        valid = ("direct", "onehot", "pallas")
+        if self.gather_engine not in valid:
+            raise ValueError(
+                f"gather_engine={self.gather_engine!r} — must be one of {valid}"
+            )
+        if self.projection not in ("3d", "2d"):
+            raise ValueError(
+                f"projection={self.projection!r} — must be '3d' or '2d'"
+            )
 
     @property
     def horizon_m(self) -> float:
         """Lookahead distance dt * v_max * H (MPPI_isaac.py:440)."""
         return self.dt * self.limits.v_max * self.horizon
+
+    @property
+    def reach_m(self) -> float:
+        """Worst-case distance any rollout lookup can be from the robot:
+        horizon travel + wheel-track offset (projection_warp.py:333)."""
+        return self.horizon_m + ro.WHEEL_OFFSET
+
+    def required_patch_cells(self, resolution: float) -> int:
+        """Minimum one-hot patch side (cells) that covers ``reach_m`` at
+        ``resolution`` m/px: 2*ceil(reach/res) plus index/truncation margin.
+        The one-hot engine clamps escaping lookups to the patch edge, so an
+        undersized patch silently reads wrong heights — callers must size
+        patches with this (validated at trace time in :func:`mppi_step`)."""
+        import math
+
+        return 2 * math.ceil(self.reach_m / float(resolution)) + 6
 
 
 class RobotState(NamedTuple):
@@ -130,6 +167,69 @@ class StepOutput(NamedTuple):
     rollouts: Array | None      # (K, H, 3) when config.return_rollouts
 
 
+def _static_float(x):
+    """Concrete float of ``x`` or None when it is an abstract tracer."""
+    try:
+        return float(x)
+    except (jax.errors.ConcretizationTypeError, TypeError):
+        return None
+
+
+def _check_patch_coverage(config: MPPIConfig, dem_res, cm_res) -> None:
+    """Fail loudly (at trace time) when the one-hot patches cannot cover the
+    horizon reach: the engine clamps escaping lookups to the patch edge, so
+    an undersized ``patch_size`` would silently return wrong heights/costs
+    instead of erroring (core/patch.py:19-36 exactness contract). Skipped
+    only when the resolutions are themselves traced values."""
+    for res, size, name in (
+        (dem_res, config.patch_size, "patch_size"),
+        (cm_res, config.costmap_patch_size, "costmap_patch_size"),
+    ):
+        if res is None:
+            continue
+        need = config.required_patch_cells(res)
+        if size < need:
+            raise ValueError(
+                f"{name}={size} cannot cover the horizon reach "
+                f"{config.reach_m:.2f} m at resolution {res} m/px: need >= "
+                f"{need} cells. The one-hot engine clamps out-of-patch "
+                f"lookups silently — enlarge {name}, coarsen the grid, or "
+                f"use gather_engine='direct'."
+            )
+
+
+def _patch_schedule(config: MPPIConfig, res: float | None):
+    """Reach-adaptive patch schedule ``((size, n_steps), ...)``.
+
+    Sizes are MXU-quantized (multiples of 128 — smaller lane/contraction
+    extents pad to 128 anyway); a chunk under 16 steps is not worth a scan
+    split. With an unknown resolution or chunking disabled, one full-size
+    patch serves the whole horizon."""
+    import math
+
+    H = config.horizon
+    if res is None or not config.chunk_patches:
+        return ((config.patch_size, H),)
+    need = config.required_patch_cells(res)
+    sizes = [*range(128, config.patch_size, 128), config.patch_size]
+    final = next(s for s in sizes if s >= need)
+    v_step = config.dt * config.limits.v_max
+    schedule, t = [], 0
+    for s in sizes:
+        if s >= final:
+            break
+        reach_max = (s - 6) // 2 * res - ro.WHEEL_OFFSET
+        n_cover = min(int(math.floor(reach_max / v_step)), H)
+        if n_cover - t >= 16:
+            schedule.append((s, n_cover - t))
+            t = n_cover
+        if t >= H:
+            break
+    if t < H:
+        schedule.append((final, H - t))
+    return tuple(schedule)
+
+
 def mppi_step(
     config: MPPIConfig,
     hf: HeightField,
@@ -150,23 +250,34 @@ def mppi_step(
     track = jnp.asarray(config.robot_radius, noise.dtype)
     horizon_m = jnp.asarray(config.horizon_m, noise.dtype)
 
-    # Terrain-read engine: optionally swap the window for a reach-covering
-    # patch whose lookups run on the MXU (bit-identical; core/patch.py).
+    # Terrain-read engine: optionally swap the window for reach-covering
+    # patches whose lookups run on the MXU. "onehot" is bit-identical to
+    # "direct"; "pallas" additionally fuses the whole rollout into a VMEM
+    # kernel (exact gathers, FMA-level elementwise differences).
     cm_patch = None
-    if config.gather_engine == "onehot":
+    if config.gather_engine in ("onehot", "pallas"):
         from ..core import patch as patch_mod
 
-        hf = patch_mod.extract_patch(
-            hf, robot.position[0], robot.position[1], config.patch_size
-        )
-        ic = jnp.trunc(
-            (robot.position[0] + costmap.half_width) / costmap.resolution
-        ).astype(jnp.int32)
-        jc = jnp.trunc(
-            (-robot.position[1] + costmap.half_width) / costmap.resolution
-        ).astype(jnp.int32)
+        dem_res = (config.dem_resolution
+                   if config.dem_resolution is not None
+                   else _static_float(hf.resolution))
+        cm_res = (config.costmap_resolution
+                  if config.costmap_resolution is not None
+                  else _static_float(costmap.resolution))
+        _check_patch_coverage(config, dem_res, cm_res)
+        schedule = _patch_schedule(config, dem_res)
+        x0, y0 = robot.position[0], robot.position[1]
+        if len(schedule) == 1:
+            hf = patch_mod.extract_patch(hf, x0, y0, schedule[0][0])
+        else:
+            hf = ro.ChunkedField(
+                patches=tuple(patch_mod.extract_patch(hf, x0, y0, s)
+                              for s, _ in schedule),
+                lengths=tuple(n for _, n in schedule),
+            )
+        ic, jc = crit.costmap_cells(robot.position[None, :], costmap)
         cm_patch = patch_mod.extract_grid_patch(
-            costmap.cost, ic, jc, config.costmap_patch_size
+            costmap.cost, ic[0], jc[0], config.costmap_patch_size
         )
 
     # 1. Receding-horizon input perturbation (sampling_warp.py:54-92).
@@ -183,6 +294,8 @@ def mppi_step(
     )
 
     # 3. K surface-riding rollouts (projection_warp.py:284-350).
+    roll_25d = (ro.rollout_25d_pallas if config.gather_engine == "pallas"
+                else ro.rollout_25d)
     if config.projection == "2d":
         traj, headings = ro.rollout_2d(
             hf, robot.position, robot.heading, lin, ang, config.dt
@@ -191,7 +304,7 @@ def mppi_step(
         # wheel-slope critic degrades to the body-slope critic.
         lw = rw = traj
     else:
-        r = ro.rollout_25d(hf, robot.position, robot.heading, lin, ang, config.dt)
+        r = roll_25d(hf, robot.position, robot.heading, lin, ang, config.dt)
         traj, headings, lw, rw = r
 
     # 4. Critic stack (critics_warp.py:302-329).
@@ -216,7 +329,7 @@ def mppi_step(
 
     # 7. Optimal rollout — always the 3D kernel, even in 2D mode
     #    (MPPI_isaac.py:696-720).
-    opt = ro.rollout_25d(
+    opt = roll_25d(
         hf, robot.position, robot.heading, opt_lin[None], opt_ang[None], config.dt
     )
 
@@ -385,6 +498,8 @@ class MPPIController:
         goal_xy,
         seed: int = 42,
     ):
+        if config.gather_engine == "onehot":
+            _check_patch_coverage(config, hf.resolution, costmap.resolution)
         self.config = config
         self.hf = hf
         self.costmap = costmap

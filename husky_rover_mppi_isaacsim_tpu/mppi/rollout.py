@@ -32,6 +32,23 @@ from ..core.patch import PatchField
 WHEEL_OFFSET = 0.2  # m, lateral wheel-track offset (projection_warp.py:333)
 
 
+class ChunkedField(NamedTuple):
+    """Reach-adaptive patch schedule: consecutive horizon chunks read from
+    successively larger patches (all centered on the robot start). Rollouts
+    are reach-limited — after ``t`` steps no lookup can be farther than
+    ``t*dt*v_max + WHEEL_OFFSET`` from the start — so early steps only need
+    a small patch, and the one-hot selection cost scales with patch *area*:
+    a 128-cell patch costs 1/4 of a 256-cell one per step on the MXU.
+    Values are bit-identical to a single covering patch (each chunk's patch
+    covers every lookup its steps can make).
+
+    ``lengths`` are trace-time Python ints (this pytree is always built
+    inside ``mppi_step``, never passed across a jit boundary)."""
+
+    patches: tuple    # tuple[PatchField, ...], smallest first
+    lengths: tuple    # tuple[int, ...] horizon steps served by each patch
+
+
 def _field_ops(hf):
     """Terrain-read ops for either a HeightField (direct XLA gathers) or a
     PatchField (MXU one-hot selection — bit-identical values, see
@@ -49,6 +66,16 @@ def _field_ops(hf):
         )
         height = lambda x, y: hfield.height_at(hf, x, y)
     return corners, wheels, height
+
+
+def _as_chunks(hf, horizon: int):
+    """Normalize a field argument to ((field, n_steps), ...)."""
+    if isinstance(hf, ChunkedField):
+        if sum(hf.lengths) != horizon:
+            raise ValueError(
+                f"chunk lengths {hf.lengths} do not sum to horizon {horizon}")
+        return tuple(zip(hf.patches, hf.lengths))
+    return ((hf, horizon),)
 
 
 class Rollout(NamedTuple):
@@ -84,47 +111,122 @@ def rollout_25d(
     """
     lin = jnp.asarray(linear_velocities)
     batch = lin.shape[:-1]
-    horizon = lin.shape[-1]
     pos = jnp.broadcast_to(jnp.asarray(position, lin.dtype), batch + (2,))
     hv = jnp.broadcast_to(jnp.asarray(heading, lin.dtype), batch + (3,))
-    corners, wheels, _ = _field_ops(hf)
+    chunks = _as_chunks(hf, lin.shape[-1])
+    first = chunks[0][0]
 
     # Pre-loop init: project the shared heading onto the start-cell plane
     # (projection_warp.py:306-310).
-    q0 = corners(pos[..., 0], pos[..., 1])
-    n0 = hfield.quad_normal(q0, hf.resolution)
+    corners0, _, _ = _field_ops(first)
+    q0 = corners0(pos[..., 0], pos[..., 1])
+    n0 = hfield.quad_normal(q0, first.resolution)
     prev = hfield.tangent_project(n0, hv)
 
-    def step(carry, inputs):
-        pos, prev = carry
-        lin_k, ang_k = inputs
+    def chunk_scan(field, carry, seq):
+        corners, wheels, _ = _field_ops(field)
 
-        x, y = geom.update_position(pos[..., 0], pos[..., 1], prev, lin_k, dt)
-        q = corners(x, y)
-        height = hfield.bilinear(x, y, q, hf.resolution)
-        normal = hfield.quad_normal(q, hf.resolution)
-        prev = hfield.tangent_project(normal, prev)
-        current = geom.update_orientation(prev, ang_k, normal, dt)
+        def step(carry, inputs):
+            pos, prev = carry
+            lin_k, ang_k = inputs
 
-        traj = jnp.stack([x, y, height], axis=-1)
+            x, y = geom.update_position(pos[..., 0], pos[..., 1], prev, lin_k, dt)
+            q = corners(x, y)
+            height = hfield.bilinear(x, y, q, field.resolution)
+            normal = hfield.quad_normal(q, field.resolution)
+            prev = hfield.tangent_project(normal, prev)
+            current = geom.update_orientation(prev, ang_k, normal, dt)
 
-        # Wheel tracks: +/- offset along normal x heading, nearest-cell height
-        # (projection_warp.py:332-348).
-        right = WHEEL_OFFSET * jnp.cross(normal, current)
-        lx, ly = x + right[..., 0], y + right[..., 1]
-        rx, ry = x - right[..., 0], y - right[..., 1]
-        lz, rz = wheels(lx, ly, rx, ry)
-        lw = jnp.stack([lx, ly, lz], axis=-1)
-        rw = jnp.stack([rx, ry, rz], axis=-1)
+            traj = jnp.stack([x, y, height], axis=-1)
 
-        new_pos = jnp.stack([x, y], axis=-1)
-        return (new_pos, current), (traj, current, lw, rw)
+            # Wheel tracks: +/- offset along normal x heading, nearest-cell
+            # height (projection_warp.py:332-348).
+            right = WHEEL_OFFSET * jnp.cross(normal, current)
+            lx, ly = x + right[..., 0], y + right[..., 1]
+            rx, ry = x - right[..., 0], y - right[..., 1]
+            lz, rz = wheels(lx, ly, rx, ry)
+            lw = jnp.stack([lx, ly, lz], axis=-1)
+            rw = jnp.stack([rx, ry, rz], axis=-1)
 
-    seq = (jnp.moveaxis(lin, -1, 0), jnp.moveaxis(angular_velocities, -1, 0))
-    _, (traj, headings, lw, rw) = jax.lax.scan(step, (pos, prev), seq, length=horizon)
+            new_pos = jnp.stack([x, y], axis=-1)
+            return (new_pos, current), (traj, current, lw, rw)
+
+        return jax.lax.scan(step, carry, seq)
+
+    lin_t = jnp.moveaxis(lin, -1, 0)
+    ang_t = jnp.moveaxis(jnp.asarray(angular_velocities), -1, 0)
+    carry, outs, t0 = (pos, prev), [], 0
+    for field, n in chunks:
+        carry, ys = chunk_scan(
+            field, carry, (lin_t[t0:t0 + n], ang_t[t0:t0 + n]))
+        outs.append(ys)
+        t0 += n
+    traj, headings, lw, rw = (
+        jnp.concatenate([o[i] for o in outs], axis=0) if len(outs) > 1
+        else outs[0][i]
+        for i in range(4)
+    )
 
     mv = lambda arr: jnp.moveaxis(arr, 0, -2)
     return Rollout(mv(traj), mv(headings), mv(lw), mv(rw))
+
+
+def rollout_25d_pallas(
+    hf,
+    position: Array,
+    heading: Array,
+    linear_velocities: Array,
+    angular_velocities: Array,
+    dt: float,
+    block_k: int = 128,
+) -> Rollout:
+    """:func:`rollout_25d` through the fused Pallas kernel
+    (ops/rollout_pallas.py): patches resident in VMEM, one kernel invocation
+    per chunk instead of H scan iterations. Same math; differs from the XLA
+    path only at FMA-contraction level (gathers are still bit-exact).
+
+    ``hf`` must be a PatchField or ChunkedField (the kernel needs the 3-way
+    bf16 split). Falls back to interpret mode off-TPU so CPU tests exercise
+    identical kernel code."""
+    from ..ops import rollout_pallas as rp
+
+    interpret = jax.default_backend() != "tpu"
+    lin = jnp.asarray(linear_velocities)
+    batch = lin.shape[:-1]
+    if len(batch) != 1:
+        raise ValueError("pallas rollout expects a single sample axis")
+    K = batch[0]
+    chunks = _as_chunks(hf, lin.shape[-1])
+    first = chunks[0][0]
+    if not isinstance(first, PatchField):
+        raise ValueError("pallas rollout requires patch fields")
+
+    pos = jnp.asarray(position, lin.dtype)
+    hv = jnp.asarray(heading, lin.dtype)
+    if pos.ndim != 1 or hv.ndim != 1:
+        raise ValueError("pallas rollout expects shared start position/heading")
+    q0 = patch_mod.corners_at(first, pos[0], pos[1])
+    n0 = hfield.quad_normal(q0, first.resolution)
+    prev = hfield.tangent_project(n0, hv)
+
+    x = jnp.full((K,), pos[0], lin.dtype)
+    y = jnp.full((K,), pos[1], lin.dtype)
+    hd = jnp.broadcast_to(prev, (K, 3))
+    ang = jnp.asarray(angular_velocities)
+    outs, t0 = [], 0
+    for field, n in chunks:
+        traj, heads, lw, rw = rp.rollout_chunk(
+            field, x, y, hd, lin[:, t0:t0 + n], ang[:, t0:t0 + n], dt,
+            block_k=block_k, interpret=interpret,
+        )
+        outs.append((traj, heads, lw, rw))
+        x, y = traj[:, -1, 0], traj[:, -1, 1]
+        hd = heads[:, -1]
+        t0 += n
+    if len(outs) == 1:
+        return Rollout(*outs[0])
+    return Rollout(*(jnp.concatenate([o[i] for o in outs], axis=1)
+                     for i in range(4)))
 
 
 def rollout_2d(
@@ -139,20 +241,35 @@ def rollout_2d(
     (projection_warp.py:353-383). Returns (trajectory, headings)."""
     lin = jnp.asarray(linear_velocities)
     batch = lin.shape[:-1]
-    horizon = lin.shape[-1]
     pos = jnp.broadcast_to(jnp.asarray(position, lin.dtype), batch + (2,))
     prev = jnp.broadcast_to(jnp.asarray(heading, lin.dtype), batch + (3,))
-    _, _, height_at = _field_ops(hf)
+    chunks = _as_chunks(hf, lin.shape[-1])
 
-    def step(carry, inputs):
-        pos, prev = carry
-        lin_k, ang_k = inputs
-        x, y = geom.update_position(pos[..., 0], pos[..., 1], prev, lin_k, dt)
-        current = geom.update_orientation_2d(prev, ang_k, dt)
-        height = height_at(x, y)
-        traj = jnp.stack([x, y, height], axis=-1)
-        return (jnp.stack([x, y], axis=-1), current), (traj, current)
+    def chunk_scan(field, carry, seq):
+        _, _, height_at = _field_ops(field)
 
-    seq = (jnp.moveaxis(lin, -1, 0), jnp.moveaxis(angular_velocities, -1, 0))
-    _, (traj, headings) = jax.lax.scan(step, (pos, prev), seq, length=horizon)
+        def step(carry, inputs):
+            pos, prev = carry
+            lin_k, ang_k = inputs
+            x, y = geom.update_position(pos[..., 0], pos[..., 1], prev, lin_k, dt)
+            current = geom.update_orientation_2d(prev, ang_k, dt)
+            height = height_at(x, y)
+            traj = jnp.stack([x, y, height], axis=-1)
+            return (jnp.stack([x, y], axis=-1), current), (traj, current)
+
+        return jax.lax.scan(step, carry, seq)
+
+    lin_t = jnp.moveaxis(lin, -1, 0)
+    ang_t = jnp.moveaxis(jnp.asarray(angular_velocities), -1, 0)
+    carry, outs, t0 = (pos, prev), [], 0
+    for field, n in chunks:
+        carry, ys = chunk_scan(
+            field, carry, (lin_t[t0:t0 + n], ang_t[t0:t0 + n]))
+        outs.append(ys)
+        t0 += n
+    traj, headings = (
+        jnp.concatenate([o[i] for o in outs], axis=0) if len(outs) > 1
+        else outs[0][i]
+        for i in range(2)
+    )
     return jnp.moveaxis(traj, 0, -2), jnp.moveaxis(headings, 0, -2)

@@ -73,6 +73,7 @@ def run_result():
     return loop, result
 
 
+@pytest.mark.slow
 def test_reaches_goal_across_block_shifts(run_result):
     loop, res = run_result
     assert res.block_shifts >= 4, f"only {res.block_shifts} shifts"
@@ -90,6 +91,7 @@ def test_reaches_goal_across_block_shifts(run_result):
     assert all(t > 0 for t in res.shift_latencies_s)
 
 
+@pytest.mark.slow
 def test_costmap_refreshed_from_streamed_rocks(run_result):
     """Every rock in the live rocks_data rasterizes to saturated cost in the
     current costmap: a rock entering the window provably raises the cost the
@@ -113,6 +115,7 @@ def test_costmap_refreshed_from_streamed_rocks(run_result):
     assert checked > 0
 
 
+@pytest.mark.slow
 def test_window_reseat_preserves_world_heights(run_result):
     """The heightfield the controller sees after N shifts agrees with the
     terrain manager's world-coordinate height query (window re-seat +
@@ -130,6 +133,7 @@ def test_window_reseat_preserves_world_heights(run_result):
     assert abs(h_ctrl - h_world) < 2e-2
 
 
+@pytest.mark.slow
 def test_path_mostly_avoids_saturated_cost(run_result):
     """The driven path stays out of the saturated (inflated-obstacle) region
     of the final costmap for the overwhelming majority of points — the

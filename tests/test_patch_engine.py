@@ -222,3 +222,52 @@ def test_mppi_step_2d_projection_onehot(rng):
     np.testing.assert_array_equal(
         np.asarray(got.optimal_trajectory), np.asarray(ref.optimal_trajectory))
     np.testing.assert_array_equal(np.asarray(got.costs), np.asarray(ref.costs))
+
+
+def test_invalid_gather_engine_rejected():
+    """A typo'd engine name must error, not silently fall back to the slow
+    direct path (ADVICE r02)."""
+    with pytest.raises(ValueError, match="gather_engine"):
+        MPPIConfig(gather_engine="one-hot")
+    with pytest.raises(ValueError, match="projection"):
+        MPPIConfig(projection="3D")
+
+
+def test_undersized_patch_raises_not_clamps(rng):
+    """A patch that cannot cover the horizon reach must fail loudly at trace
+    time — the one-hot engine clamps escaping lookups silently otherwise
+    (VERDICT r02 weak #2)."""
+    dtype = jnp.float32
+    hf = _world(rng, grid=512, hw=25.0, dtype=dtype)
+    cm = Costmap(
+        cost=jnp.zeros((64, 64), dtype),
+        half_width=jnp.asarray(25.0, dtype),
+        resolution=jnp.asarray(50.0 / 64, dtype),
+    )
+    goal = jnp.asarray([18.0, 15.0], dtype)
+    robot = RobotState.create(-10.0, -8.0, [1.0, 0.3, 0.0], dtype=dtype)
+    noise = sample_noise(jax.random.key(0), 16, 100, dtype)
+    # reach = 100 * 0.045 * 2 + 0.2 = 9.2 m; at ~0.098 m/px a 64-cell patch
+    # covers ~3.1 m -> must raise
+    cfg = MPPIConfig(num_samples=16, horizon=100, gather_engine="onehot",
+                     patch_size=64, costmap_patch_size=32)
+    ctrl0 = ControllerState.create(cfg, dtype)
+    with pytest.raises(ValueError, match="patch_size"):
+        mppi_step(cfg, hf, cm, goal, robot, ctrl0, noise)
+    # a covering patch passes (the guard is not over-eager)
+    ok = MPPIConfig(num_samples=16, horizon=100, gather_engine="onehot",
+                    patch_size=256, costmap_patch_size=32)
+    mppi_step(ok, hf, cm, goal, robot, ctrl0, noise)
+
+
+def test_split3_reconstructs_bitwise(rng):
+    """The 3-way bf16 split is an exact decomposition of float32."""
+    from husky_rover_mppi_isaacsim_tpu.core.patch import split3
+
+    z = jnp.asarray(
+        rng.standard_normal((128, 128)).astype(np.float32) * 1e3)
+    s = split3(z)
+    back = (s[0].astype(jnp.float32) + s[1].astype(jnp.float32)
+            ) + s[2].astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(z))
+    assert split3(z.astype(jnp.float64)) is None

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from husky_rover_mppi_isaacsim_tpu.core import HeightField
 from husky_rover_mppi_isaacsim_tpu.mppi import (
@@ -27,6 +28,7 @@ def _world(dtype=jnp.float64, hw=25.0):
     return hf, cm
 
 
+@pytest.mark.slow
 def test_rover_sample_mesh_step_matches_unsharded():
     dtype = jnp.float64
     hf, cm = _world(dtype)
