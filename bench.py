@@ -205,6 +205,20 @@ def bench_closed_loop(hf, cm, config: MPPIConfig, ns=(16, 64)):
     return per_step, 1.0 / per_step
 
 
+def selection_flops_per_loop(config: MPPIConfig, dem_res: float,
+                             cm_res: float) -> float:
+    """MXU flops one control loop actually issues for terrain/costmap
+    selection (the dominant compute): per horizon step, 4 one-hot column
+    selections x 3 bf16 splits x P^2 MACs per sample, for K samples + the
+    K=1 optimal rollout, plus one costmap selection per waypoint."""
+    from husky_rover_mppi_isaacsim_tpu.mppi.controller import _patch_schedule
+
+    K, H = config.num_samples, config.horizon
+    dem = sum(n * 12 * 2 * s * s for s, n in _patch_schedule(config, dem_res))
+    cm = H * 6 * config.costmap_patch_size ** 2
+    return (K + 1) * dem + K * cm
+
+
 def main():
     hf, cm = build_world()
 
@@ -213,29 +227,39 @@ def main():
                           gather_engine=engine, patch_size=256,
                           costmap_patch_size=128)
 
-    # Reference workload: K=1000, H=100 (config.yaml), both engines.
+    # Reference workload: K=1000, H=100 (config.yaml), all engines;
+    # "pallas" (fused VMEM rollout kernel) is the production engine.
     loop_direct, sps_direct = bench_control_loop(hf, cm, cfg(1000, 100, "direct"))
     loop_onehot, sps_onehot = bench_control_loop(hf, cm, cfg(1000, 100, "onehot"))
+    loop_pallas, sps_pallas = bench_control_loop(hf, cm, cfg(1000, 100, "pallas"))
     # Large batched config (BASELINE config 1): 16k x 64, best engine.
-    loop_big, sps_big = bench_control_loop(hf, cm, cfg(16384, 64, "onehot"))
+    loop_big, sps_big = bench_control_loop(hf, cm, cfg(16384, 64, "pallas"))
 
     env_dt, env_steps_per_s = bench_vec_env(hf)
-    gs_cfg = cfg(1000, 100, "onehot")
+    gs_cfg = cfg(1000, 100, "pallas")
     gs_loop_s, gs_loops = bench_goal_seek(hf, cm, gs_cfg)
     cl_dt, cl_steps_per_s = bench_closed_loop(hf, cm, gs_cfg)
 
-    best = max(sps_direct, sps_onehot, sps_big)
+    best_loop = min(loop_direct, loop_onehot, loop_pallas)
+    best = 1000 * 100 / best_loop
+    # Roofline accounting (v5e: 197 Tflop/s bf16) — how much of the loop
+    # time is explained by the MXU selection work it issues.
+    sel_flops = selection_flops_per_loop(
+        cfg(1000, 100, "pallas"), 0.1, 0.2)
+    mxu_pct = sel_flops / best_loop / 197e12 * 100.0
     result = {
         "metric": "mppi_rollout_steps_per_s",
-        "value": round(best, 1),
+        "value": round(max(best, sps_big), 1),
         "unit": "rollout-steps/s",
-        "vs_baseline": round(best / BASELINE_ROLLOUT_STEPS_PER_S, 4),
+        "vs_baseline": round(max(best, sps_big) / BASELINE_ROLLOUT_STEPS_PER_S, 4),
         "detail": {
             "methodology": "transfer-synced slope timing of scanned dependent control loops (relay-safe)",
             "k1000_h100_direct_loop_ms": round(loop_direct * 1e3, 4),
             "k1000_h100_onehot_loop_ms": round(loop_onehot * 1e3, 4),
-            "k1000_h100_steps_per_s": round(max(sps_direct, sps_onehot), 1),
-            "k16384_h64_onehot_loop_ms": round(loop_big * 1e3, 4),
+            "k1000_h100_pallas_loop_ms": round(loop_pallas * 1e3, 4),
+            "k1000_h100_steps_per_s": round(best, 1),
+            "k1000_h100_vs_ref_3ms": round(3e-3 / best_loop, 2),
+            "k16384_h64_pallas_loop_ms": round(loop_big * 1e3, 4),
             "k16384_h64_steps_per_s": round(sps_big, 1),
             "vec_env_4096_step_us": round(env_dt * 1e6, 2),
             "vec_env_rover_steps_per_s": round(env_steps_per_s, 1),
@@ -243,6 +267,8 @@ def main():
             "goal_seek_loops": gs_loops,
             "closed_loop_step_ms": round(cl_dt * 1e3, 4),
             "closed_loop_steps_per_s": round(cl_steps_per_s, 1),
+            "selection_gflops_per_loop": round(sel_flops / 1e9, 2),
+            "mxu_peak_pct_at_best_loop": round(mxu_pct, 1),
             "device": str(jax.devices()[0]),
         },
     }

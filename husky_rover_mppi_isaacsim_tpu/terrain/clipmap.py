@@ -21,6 +21,7 @@ product (exported for visualization, or consumed by the labeling renderer).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -92,8 +93,11 @@ def build_ring_layout(spec: ClipmapSpec) -> RingLayout:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_lods",))
 def build_lod_pyramid(z: Array, num_lods: int) -> list[Array]:
-    """2x average-pool pyramid of the source DEM."""
+    """2x average-pool pyramid of the source DEM. Jitted so the strided
+    window reads never execute as eager ops against the big streamed array
+    (relay-pathological — see terrain/streaming.py query note)."""
     levels = [jnp.asarray(z)]
     for _ in range(num_lods - 1):
         cur = levels[-1]

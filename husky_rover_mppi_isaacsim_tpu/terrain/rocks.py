@@ -204,13 +204,22 @@ class RockSampler:
         self._key = jax.random.key(conf.seed)
 
     def _query_surface(self, xy: np.ndarray, key: Array):
+        # Pad the rock count to a shape bucket before the jitted surface
+        # query: point-process counts differ per block, and a fresh compile
+        # per distinct n turned the first reference-scale window build into
+        # ~50 remote compilations (minutes each through the TPU tunnel).
+        n = xy.shape[0]
+        bucket = max(64, -(-n // 256) * 256)
+        xy_p = np.zeros((bucket, 2), xy.dtype if xy.dtype.kind == "f"
+                        else np.float32)
+        xy_p[:n] = xy
         if isinstance(self.hf, HeightField):
             h, quat, _ = surface_orientation(
-                self.hf, jnp.asarray(xy, self.hf.z.dtype), key
+                self.hf, jnp.asarray(xy_p, self.hf.z.dtype), key
             )
         else:
-            h, quat, _ = provider_orientation(self.hf, xy, key)
-        return h, quat
+            h, quat, _ = provider_orientation(self.hf, xy_p, key)
+        return h[:n], quat[:n]
 
     def _block_rng(self, bx: int, by: int) -> np.random.Generator:
         """Per-block generator keyed by (seed, block): block contents are

@@ -39,6 +39,26 @@ from .point_process import BoundingBox, hardcore_poisson
 from .upsample import bilinear_point_sample, upsample_bicubic
 
 
+@jax.jit
+def _window_normal(window: Array, px: Array, py: Array, res) -> Array:
+    """Quad normal at fractional window pixels (jitted — see the query
+    section note in :class:`TerrainStreamer`)."""
+    i = jnp.floor(px).astype(jnp.int32)
+    j = jnp.floor(py).astype(jnp.int32)
+    n = window.shape[0]
+    i = jnp.clip(i, 0, n - 2)
+    j = jnp.clip(j, 0, n - 2)
+    q00 = window[i, j]
+    q01 = window[i, j + 1]
+    q10 = window[i + 1, j]
+    q11 = window[i + 1, j + 1]
+    vx = -res / 2.0 * (q01 - q00 - q10 + q11)
+    vy = -res / 2.0 * (q10 - q00 - q01 + q11)
+    vz = res * res * jnp.ones_like(vx)
+    v = jnp.stack([vx, vy, vz], axis=-1)
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
 @dataclasses.dataclass
 class StreamerConf:
     """Window geometry (HighResDEMConf semantics,
@@ -419,6 +439,10 @@ class TerrainStreamer:
                 self.build_block(a[0] + i, col)
 
     # --- queries ------------------------------------------------------------
+    # All window reads are jitted: an eagerly-indexed result fetched to the
+    # host pulls the WHOLE parent buffer through the TPU relay (~100 s for
+    # the 196 MB reference-scale window); jit outputs are standalone
+    # buffers, so a fetch transfers only the queried values.
 
     def _to_window_px(self, x, y):
         ox, oy = self.window_origin()
@@ -435,18 +459,4 @@ class TerrainStreamer:
         """Quad normal in world coordinates (get_normal_local semantics,
         quad-normal formula of the projection kernels)."""
         px, py = self._to_window_px(x, y)
-        i = jnp.floor(px).astype(jnp.int32)
-        j = jnp.floor(py).astype(jnp.int32)
-        n = self.window.shape[0]
-        i = jnp.clip(i, 0, n - 2)
-        j = jnp.clip(j, 0, n - 2)
-        q00 = self.window[i, j]
-        q01 = self.window[i, j + 1]
-        q10 = self.window[i + 1, j]
-        q11 = self.window[i + 1, j + 1]
-        res = self.conf.resolution
-        vx = -res / 2.0 * (q01 - q00 - q10 + q11)
-        vy = -res / 2.0 * (q10 - q00 - q01 + q11)
-        vz = res * res * jnp.ones_like(vx)
-        v = jnp.stack([vx, vy, vz], axis=-1)
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return _window_normal(self.window, px, py, self.conf.resolution)

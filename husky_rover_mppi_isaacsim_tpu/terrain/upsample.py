@@ -59,10 +59,15 @@ def upsample_bicubic(lr: Array, factor: int) -> Array:
     return axis_pass(hr.T).T
 
 
+@jax.jit
 def bicubic_point_sample(z: Array, x: Array, y: Array) -> Array:
     """Catmull-Rom bicubic sample at fractional pixel coordinates (the
     clipmap's 4x4 sampler, geometry_clipmaps_warp.py:211-279). ``x`` indexes
-    rows, ``y`` columns (reference axis convention)."""
+    rows, ``y`` columns (reference axis convention).
+
+    Jitted: eager gathers against a large device window are pathological
+    through the TPU relay (a host fetch of an eagerly-indexed result pulls
+    the whole parent buffer — ~100 s for the 7000^2 streamed window)."""
     a = -0.5
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
@@ -87,9 +92,11 @@ def bicubic_point_sample(z: Array, x: Array, y: Array) -> Array:
     return jnp.einsum("...i,...ij,...j->...", wx, patch, wy)
 
 
+@jax.jit
 def bilinear_point_sample(z: Array, x: Array, y: Array) -> Array:
     """2x2 bilinear sample at fractional pixel coordinates (the clipmap's
-    fast path, geometry_clipmaps_warp.py:180-208)."""
+    fast path, geometry_clipmaps_warp.py:180-208). Jitted — see
+    :func:`bicubic_point_sample`."""
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0

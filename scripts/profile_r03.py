@@ -103,12 +103,24 @@ def partial_step_timer(hf, cm, config, stage):
     track = jnp.asarray(config.robot_radius, DTYPE)
     horizon_m = jnp.asarray(config.horizon_m, DTYPE)
 
+    from husky_rover_mppi_isaacsim_tpu.mppi.controller import _patch_schedule
+
+    roll = (ro.rollout_25d_pallas if config.gather_engine == "pallas"
+            else ro.rollout_25d)
+
     def one(robot, ctrl, noise):
         hfl = hf
         cm_patch = None
-        if config.gather_engine == "onehot":
-            hfl = patch_mod.extract_patch(
-                hf, robot.position[0], robot.position[1], config.patch_size)
+        if config.gather_engine in ("onehot", "pallas"):
+            schedule = _patch_schedule(config, float(hf.resolution))
+            x0, y0 = robot.position[0], robot.position[1]
+            if len(schedule) == 1:
+                hfl = patch_mod.extract_patch(hf, x0, y0, schedule[0][0])
+            else:
+                hfl = ro.ChunkedField(
+                    patches=tuple(patch_mod.extract_patch(hf, x0, y0, s)
+                                  for s, _ in schedule),
+                    lengths=tuple(n for _, n in schedule))
             ic, jc = crit.costmap_cells(robot.position[None, :], cm)
             cm_patch = patch_mod.extract_grid_patch(
                 cm.cost, ic[0], jc[0], config.costmap_patch_size)
@@ -122,8 +134,7 @@ def partial_step_timer(hf, cm, config, stage):
             config.limits, k_r, a_r)
         if stage == "lag":
             return jnp.sum(lin) + jnp.sum(ang)
-        r = ro.rollout_25d(hfl, robot.position, robot.heading, lin, ang,
-                           config.dt)
+        r = roll(hfl, robot.position, robot.heading, lin, ang, config.dt)
         traj, headings, lw, rw = r
         if stage == "rollout":
             return jnp.sum(traj[..., -1, :]) + jnp.sum(lw[..., -1, 2])
@@ -141,8 +152,8 @@ def partial_step_timer(hf, cm, config, stage):
         opt_lin, opt_ang = wheel_lag_matmul(
             opt_u1[None], opt_u2[None], robot.left_wheel_speed,
             robot.right_wheel_speed, track, config.limits, k_o, a_o)
-        opt = ro.rollout_25d(hfl, robot.position, robot.heading,
-                             opt_lin, opt_ang, config.dt)
+        opt = roll(hfl, robot.position, robot.heading,
+                   opt_lin, opt_ang, config.dt)
         return jnp.sum(opt.trajectory[0, 0]) + jnp.sum(opt_u1)
 
     @partial(jax.jit, static_argnums=(2,))
@@ -188,10 +199,14 @@ def main():
         t = slope_time(loop_timer(hf, cm, cfg(gather_engine="direct")))
         print(f"direct  K=1000 H=100 loop: {t*1e3:.3f} ms")
     if "stages" in tags:
-        for stage in ("sample", "lag", "rollout", "critics", "weights",
-                      "optimal"):
+        for stage in ("rollout", "critics", "optimal"):
             t = slope_time(partial_step_timer(hf, cm, cfg(), stage))
             print(f"stage<={stage:8s}: {t*1e3:.3f} ms")
+    if "pstages" in tags:
+        for stage in ("rollout", "critics", "optimal"):
+            t = slope_time(partial_step_timer(
+                hf, cm, cfg(gather_engine="pallas"), stage))
+            print(f"pallas stage<={stage:8s}: {t*1e3:.3f} ms")
     if "big" in tags:
         t = slope_time(loop_timer(hf, cm, cfg(num_samples=16384, horizon=64)))
         print(f"onehot  K=16384 H=64 loop: {t*1e3:.3f} ms "
