@@ -26,6 +26,7 @@ recompiles.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import List, Optional
 
@@ -84,6 +85,29 @@ class LargeScaleRunResult:
     shift_latencies_s: List[float]
     costmap_rebuilds: int
     path_world: np.ndarray  # (T, 2)
+    # steady-state rate: steps/time after the first `steady_after` sim steps
+    # (first-iteration jit compiles through the TPU tunnel dominate wall_s
+    # otherwise)
+    steady_steps: int = 0
+    steady_wall_s: float = 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("di_px", "dj_px"))
+def _roll_pass_counts(counts, di_px: int, dj_px: int):
+    """Shift the per-pixel deformation pass counts exactly like the window
+    roll (streaming.py shift path: ``jnp.roll(window, (-di, -dj))``) and
+    zero the newly-exposed band."""
+    rolled = jnp.roll(counts, (-di_px, -dj_px), (0, 1))
+    n0, n1 = counts.shape
+    if di_px > 0:
+        rolled = rolled.at[n0 - di_px:, :].set(0)
+    elif di_px < 0:
+        rolled = rolled.at[:-di_px, :].set(0)
+    if dj_px > 0:
+        rolled = rolled.at[:, n1 - dj_px:].set(0)
+    elif dj_px < 0:
+        rolled = rolled.at[:, :-dj_px].set(0)
+    return rolled
 
 
 class LargeScaleClosedLoop:
@@ -303,7 +327,13 @@ class LargeScaleClosedLoop:
         goal_w = np.asarray(conf.goal, np.float64)
 
         chunk_idx = 0
+        steady_after = 240  # sim steps of warmup before steady-state timing
+        t_steady = None
+        steps_at_steady = 0
         while steps < conf.max_steps:
+            if t_steady is None and steps >= steady_after:
+                t_steady = time.perf_counter()
+                steps_at_steady = steps
             state = self._chunk_fn(
                 self.hf, self.costmap, goal_ctrl, state, key,
                 np.int32(chunk_idx),
@@ -329,15 +359,21 @@ class LargeScaleClosedLoop:
             bx, by = self.lstm.get_hr_map_current_block_coordinates()
             if (bx, by) != (self.block_x, self.block_y):
                 t_shift = time.perf_counter()
-                state, goal_ctrl, _ = self._on_block_shift(state, goal_ctrl)
+                state, goal_ctrl, shift = self._on_block_shift(
+                    state, goal_ctrl)
                 jax.block_until_ready(self.hf.z)
                 jax.block_until_ready(self.costmap.cost)
                 shift_latencies.append(time.perf_counter() - t_shift)
                 if self.deform_engine is not None:
-                    # deformation pass counts do not survive a window shift
-                    # (fresh blocks replace the deformed band)
-                    self._deform_counts = jnp.zeros_like(
-                        self.lstm.map_manager.streamer.window, jnp.int32
+                    # roll the pass counts with the window so carried-over
+                    # blocks keep their per-pixel decay state (matching
+                    # deformation_engine.py:695-721 semantics); only the
+                    # newly-exposed band resets
+                    res = self.lstm.map_manager.streamer.conf.resolution
+                    self._deform_counts = _roll_pass_counts(
+                        self._deform_counts,
+                        int(round(shift[0] / res)),
+                        int(round(shift[1] / res)),
                     )
                 costmap_rebuilds += 1
                 block_shifts += 1
@@ -356,4 +392,6 @@ class LargeScaleClosedLoop:
             shift_latencies_s=shift_latencies,
             costmap_rebuilds=costmap_rebuilds,
             path_world=np.asarray(path) if path else np.zeros((0, 2)),
+            steady_steps=steps - steps_at_steady if t_steady else 0,
+            steady_wall_s=(time.perf_counter() - t_steady) if t_steady else 0.0,
         )

@@ -147,6 +147,7 @@ def run_2d_vs_3d_experiment(
     seed: int = 42,
     trim_fraction: float = 0.1,
     dtype=None,
+    gather_engine: str = "direct",
 ) -> dict:
     """The thesis's 2D-vs-3D projection experiment
     (compare_3d_2d.py / stats_results.py:8-80): for each K in ``ks`` run
@@ -200,7 +201,7 @@ def run_2d_vs_3d_experiment(
         arm_reached = {"3d": 0, "2d": 0}
         for proj in ("3d", "2d"):
             config = MPPIConfig(num_samples=int(k), horizon=horizon,
-                                projection=proj)
+                                projection=proj, gather_engine=gather_engine)
             runner = jax.jit(functools.partial(
                 goal_seek_recorded, config, hf, cm,
                 max_loops=max_loops,

@@ -74,6 +74,48 @@ for shard in out.optimal_trajectory.addressable_shards:
     np.testing.assert_allclose(
         np.asarray(shard.data), np.asarray(ref_out.optimal_trajectory),
         atol=1e-10)
+
+# --- weak-scaling throughput: same per-process sample batch on a local
+# 4-device mesh (1 process) vs the 8-device global mesh (2 processes).
+# BASELINE target 3 asks for a recorded cross-process number; on this
+# 2-core CPU host the figure is oversubscription-bound, but it pins the
+# measurement harness a pod run can re-use.
+import time
+
+PER_PROC = 512  # samples each process contributes
+
+
+def timed_steps(mesh_, num_samples, n):
+    cfgw = MPPIConfig(num_samples=num_samples, horizon=12, exact=True)
+    ctrlw = ControllerState.create(cfgw, dtype)
+    noise_w = np.random.default_rng(9).normal(
+        size=(2, num_samples, cfgw.horizon))
+    nz = jax.make_array_from_callback(
+        noise_w.shape, NamedSharding(mesh_, P(None, "sample", None)),
+        lambda idx: noise_w[idx],
+    )
+    stepw = jax.jit(functools.partial(sharded_mppi_step, cfgw, mesh_))
+    c = ctrlw
+    c, o = stepw(hf, cm, goal, robot, c, nz)     # compile
+    jax.block_until_ready(o.costs)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        c, o = stepw(hf, cm, goal, robot, c, nz)
+    jax.block_until_ready(o.costs)
+    return (time.perf_counter() - t0) / n
+
+
+local_mesh = jax.sharding.Mesh(np.array(jax.local_devices()), ("sample",))
+t_local = timed_steps(local_mesh, PER_PROC, 4)          # 1 process's share
+t_global = timed_steps(mesh, PER_PROC * 2, 4)           # same share x 2 procs
+if pid == 0:
+    import json
+    print("THROUGHPUT " + json.dumps({
+        "per_process_samples": PER_PROC,
+        "local_4dev_step_s": round(t_local, 4),
+        "global_2proc_8dev_step_s": round(t_global, 4),
+        "weak_scaling_efficiency": round(t_local / t_global, 3),
+    }), flush=True)
 print(f"WORKER_OK {pid}", flush=True)
 '''
 
@@ -114,3 +156,26 @@ def test_two_process_distributed_equality(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"WORKER_OK {pid}" in out, out[-3000:]
+
+    # persist the cross-process weak-scaling row into SCALING.json
+    # (BASELINE target 3: a number a pod run can be compared against; on
+    # this 2-core host it is oversubscription-bound — the >=80% ICI target
+    # awaits real multi-chip hardware)
+    import json
+
+    line = next(l for l in outs[0].splitlines() if l.startswith("THROUGHPUT "))
+    row = json.loads(line[len("THROUGHPUT "):])
+    assert row["weak_scaling_efficiency"] > 0.2, row
+    scaling_path = Path(__file__).parent.parent / "SCALING.json"
+    data = {}
+    if scaling_path.exists():
+        data = json.loads(scaling_path.read_text())
+    data["two_process_weak_scaling"] = dict(
+        row,
+        note=(
+            "2 OS processes x 4 virtual CPU devices, same per-process "
+            "sample batch; CPU-oversubscription-bound on the 2-core bench "
+            "host — the >=0.8 efficiency target needs real multi-chip ICI"
+        ),
+    )
+    scaling_path.write_text(json.dumps(data, indent=1))
