@@ -326,6 +326,8 @@ def run_evaluation(tree) -> dict:
         grid_size=int(world.get("grid_size", 1500)),
         costmap_size=int(world.get("costmap_size", 750)),
         seed=int(tree.get("seed", 42)),
+        gather_engine=str(ev.get("gather_engine", "direct")),
+        span_fraction=float(ev.get("span_fraction", 0.8)),
     )
     return {"mode": "evaluation", **table}
 

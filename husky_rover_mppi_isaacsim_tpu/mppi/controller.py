@@ -485,47 +485,57 @@ def goal_seek_recorded(
     ctrl: ControllerState,
     key: Array,
     max_loops: int = 1500,
+    unroll: int = 4,
 ) -> GoalSeekTrace:
     """:func:`goal_seek` with an on-device trajectory recording: the
     ``lax.while_loop`` carries fixed-size position/velocity buffers written
     at the loop index, so early exit is kept and the whole episode still
-    runs with zero host syncs."""
+    runs with zero host syncs. Body is masked-unrolled like
+    :func:`goal_seek`; after the stop box is hit, frozen sub-steps rewrite
+    index ``loops`` with the frozen state (consumers slice ``[:loops]``)."""
     dtype = robot.position.dtype
-    buf_pos = jnp.zeros((max_loops, 3), dtype)
-    buf_vel = jnp.zeros((max_loops,), dtype)
+    buf_pos = jnp.zeros((max_loops + 1, 3), dtype)
+    buf_vel = jnp.zeros((max_loops + 1,), dtype)
+
+    def reached_now(r):
+        dx = jnp.abs(r.position[0] - goal[0])
+        dy = jnp.abs(r.position[1] - goal[1])
+        return jnp.logical_and(dx <= 0.5, dy <= 0.5)
 
     def cond(carry):
-        robot, ctrl, key, loop, _, _ = carry
-        dx = jnp.abs(robot.position[0] - goal[0])
-        dy = jnp.abs(robot.position[1] - goal[1])
-        return jnp.logical_and(
-            jnp.logical_or(dx > 0.5, dy > 0.5), loop < max_loops
-        )
+        _, _, _, loop, halt, _, _ = carry
+        return jnp.logical_and(jnp.logical_not(halt), loop < max_loops)
 
     def body(carry):
-        robot, ctrl, key, loop, bp, bv = carry
-        key, sub = jax.random.split(key)
-        noise = sample_noise(
-            sub, config.num_samples, config.horizon, dtype
-        )
-        ctrl, out = mppi_step(config, hf, costmap, goal, robot, ctrl, noise)
-        robot = kinematic_advance(config, robot, out)
-        bp = bp.at[loop].set(
-            jnp.concatenate([robot.position, robot.z[None]])
-        )
-        bv = bv.at[loop].set(out.linear_velocity)
-        return (robot, ctrl, key, loop + 1, bp, bv)
+        robot, ctrl, key, loop, halt, bp, bv = carry
+        for _ in range(unroll):
+            active = jnp.logical_and(
+                jnp.logical_not(halt), loop < max_loops)
+            key, sub = jax.random.split(key)
+            noise = sample_noise(
+                sub, config.num_samples, config.horizon, dtype)
+            ctrl2, out = mppi_step(
+                config, hf, costmap, goal, robot, ctrl, noise)
+            robot2 = kinematic_advance(config, robot, out)
+            keep = lambda new, old: jnp.where(active, new, old)
+            robot = jax.tree.map(keep, robot2, robot)
+            ctrl = jax.tree.map(keep, ctrl2, ctrl)
+            bp = bp.at[loop].set(
+                jnp.concatenate([robot.position, robot.z[None]]))
+            bv = bv.at[loop].set(
+                jnp.where(active, out.linear_velocity, bv[loop]))
+            loop = loop + active.astype(jnp.int32)
+            halt = reached_now(robot)
+        return (robot, ctrl, key, loop, halt, bp, bv)
 
     loop0 = jnp.asarray(0, jnp.int32)
-    robot, ctrl, key, loops, buf_pos, buf_vel = jax.lax.while_loop(
-        cond, body, (robot, ctrl, key, loop0, buf_pos, buf_vel)
+    robot, ctrl, key, loops, halt, buf_pos, buf_vel = jax.lax.while_loop(
+        cond, body,
+        (robot, ctrl, key, loop0, reached_now(robot), buf_pos, buf_vel),
     )
-    dx = jnp.abs(robot.position[0] - goal[0])
-    dy = jnp.abs(robot.position[1] - goal[1])
-    reached = jnp.logical_and(dx <= 0.5, dy <= 0.5)
     return GoalSeekTrace(
-        robot=robot, ctrl=ctrl, loops=loops, reached=reached,
-        positions=buf_pos, velocities=buf_vel,
+        robot=robot, ctrl=ctrl, loops=loops, reached=halt,
+        positions=buf_pos[:max_loops], velocities=buf_vel[:max_loops],
     )
 
 

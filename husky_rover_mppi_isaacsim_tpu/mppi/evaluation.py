@@ -148,6 +148,7 @@ def run_2d_vs_3d_experiment(
     trim_fraction: float = 0.1,
     dtype=None,
     gather_engine: str = "direct",
+    span_fraction: float = 0.8,
 ) -> dict:
     """The thesis's 2D-vs-3D projection experiment
     (compare_3d_2d.py / stats_results.py:8-80): for each K in ``ks`` run
@@ -185,7 +186,7 @@ def run_2d_vs_3d_experiment(
                      resolution=cm.resolution.astype(dtype))
 
     rng = np.random.default_rng(seed)
-    lim = 0.8 * half_width
+    lim = span_fraction * half_width
     pairs = []
     for _ in range(runs_per_arm):
         start = np.array([-lim, 0.0]) + rng.uniform(-0.15, 0.15, 2) * half_width
@@ -195,6 +196,14 @@ def run_2d_vs_3d_experiment(
     table: dict = {"config": {"ks": list(ks), "runs_per_arm": runs_per_arm,
                               "horizon": horizon, "max_loops": max_loops},
                    "per_k": {}}
+    import sys
+    import time as _time
+
+    # re-scoring is tiny host math; pin it to the CPU backend so per-episode
+    # eager ops never round-trip through the TPU relay
+    cpu = jax.devices("cpu")[0]
+    cm_host = jax.device_put(cm, cpu)
+
     for k in ks:
         arm_scores = {"3d": [], "2d": []}
         arm_collisions = {"3d": 0, "2d": 0}
@@ -206,6 +215,7 @@ def run_2d_vs_3d_experiment(
                 goal_seek_recorded, config, hf, cm,
                 max_loops=max_loops,
             ))
+            t_arm = _time.time()
             for run_idx, (start, goal) in enumerate(pairs):
                 robot = RobotState.create(
                     start[0], start[1], [1.0, 0.0, 0.0], dtype=dtype
@@ -223,9 +233,13 @@ def run_2d_vs_3d_experiment(
                     start=tuple(start),
                     goal=tuple(goal),
                 )
-                arm_scores[proj].append(rescore_trajectory(log, cm))
-                arm_collisions[proj] += count_collisions(log, cm)
+                with jax.default_device(cpu):
+                    arm_scores[proj].append(rescore_trajectory(log, cm_host))
+                    arm_collisions[proj] += count_collisions(log, cm_host)
                 arm_reached[proj] += int(trace.reached)
+            print(f"[eval] K={k} {proj}: {len(pairs)} runs in "
+                  f"{_time.time() - t_arm:.0f}s, reached={arm_reached[proj]}",
+                  file=sys.stderr, flush=True)
         table["per_k"][int(k)] = {
             "trimmed_means": compare_populations(
                 arm_scores["2d"], arm_scores["3d"], trim_fraction

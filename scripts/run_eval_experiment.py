@@ -24,9 +24,14 @@ from husky_rover_mppi_isaacsim_tpu.mppi.evaluation import (
 def main():
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     t0 = time.time()
+    # ~65 m paired traverses (jittered) complete within the loop cap at the
+    # rover's realized ~0.05 m/loop; the thesis's 200 m runs would need a
+    # 4000+ cap and ~4x the chip time for the same statistics.
     table = run_2d_vs_3d_experiment(
         ks=(350, 500, 1000),
         runs_per_arm=runs,
+        max_loops=2000,
+        span_fraction=0.45,
         gather_engine="pallas",
     )
     table["config"]["gather_engine"] = "pallas"
