@@ -27,10 +27,22 @@ the reference's 3 ms loop.
 """
 
 import json
+import os
 import time
 from functools import partial
 
 import jax
+
+# Persistent compilation cache: remote compiles through the TPU tunnel cost
+# 30-90 s each and this benchmark compiles ~15 distinct programs; with the
+# cache, a rerun (e.g. the round driver's) skips them all.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass  # cache is an optimization only
+
 import jax.numpy as jnp
 import numpy as np
 
