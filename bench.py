@@ -167,14 +167,20 @@ def bench_goal_seek(hf, cm, config: MPPIConfig, max_loops=400):
 
     run = jax.jit(lambda r, c, k: goal_seek(
         config, hf, cm, goal, r, c, k, max_loops=max_loops))
-    res = run(robot, ctrl, jax.random.key(0))
-    loops = int(np.asarray(res.loops))  # compile + sync
-    t0 = time.perf_counter()
-    res = run(robot, ctrl, jax.random.key(1))
-    loops = int(np.asarray(res.loops))
-    _ = _sync(res.robot.position[0])
-    dt = time.perf_counter() - t0
-    return dt / max(loops, 1), loops
+    # two warmups: compile, then the first post-compile execution (which
+    # pays a one-time ~4 ms/loop relay/allocation cost, measured in
+    # scripts — steady-state episodes run at ~1.2x the scanned loop)
+    for s in (0, 1):
+        res = run(robot, ctrl, jax.random.key(s))
+        int(np.asarray(res.loops))
+    best, loops = 1e9, 1
+    for s in (2, 3):
+        t0 = time.perf_counter()
+        res = run(robot, ctrl, jax.random.key(s))
+        loops = int(np.asarray(res.loops))
+        _ = _sync(res.robot.position[0])
+        best = min(best, (time.perf_counter() - t0) / max(loops, 1))
+    return best, loops
 
 
 def bench_closed_loop(hf, cm, config: MPPIConfig, ns=(16, 64)):
