@@ -73,6 +73,8 @@ class MPPIConfig:
     # scales with patch area, so a 128-cell first chunk runs at 1/4 the MXU
     # cost of a 256-cell patch. Bit-identical; needs a concrete resolution.
     chunk_patches: bool = True
+    # Sample-block width of the fused Pallas kernel (lanes per program).
+    pallas_block_k: int = 128
     # Static resolution hints for when the field resolutions are traced
     # (e.g. under jit with donated heightfields); None = read from the field
     # when it is concrete, else fall back to a single unchunked patch.
@@ -322,8 +324,13 @@ def mppi_step(
     )
 
     # 3. K surface-riding rollouts (projection_warp.py:284-350).
-    roll_25d = (ro.rollout_25d_pallas if config.gather_engine == "pallas"
-                else ro.rollout_25d)
+    if config.gather_engine == "pallas":
+        import functools as _ft
+
+        roll_25d = _ft.partial(ro.rollout_25d_pallas,
+                               block_k=config.pallas_block_k)
+    else:
+        roll_25d = ro.rollout_25d
     if config.projection == "2d":
         traj, headings = ro.rollout_2d(
             hf, robot.position, robot.heading, lin, ang, config.dt

@@ -196,6 +196,8 @@ def rollout_25d_pallas(
     if len(batch) != 1:
         raise ValueError("pallas rollout expects a single sample axis")
     K = batch[0]
+    # don't pad tiny batches (the K=1 optimal rollout) up to a wide block
+    block_k = min(block_k, max(128, -(-K // 128) * 128))
     chunks = _as_chunks(hf, lin.shape[-1])
     first = chunks[0][0]
     if not isinstance(first, PatchField):

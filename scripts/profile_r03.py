@@ -192,6 +192,18 @@ def main():
     if "pallas" in tags:
         t = slope_time(loop_timer(hf, cm, cfg(gather_engine="pallas")))
         print(f"pallas  K=1000 H=100 loop: {t*1e3:.3f} ms")
+    if "kb256" in tags:
+        t = slope_time(loop_timer(hf, cm, cfg(gather_engine="pallas",
+                                              pallas_block_k=256)))
+        print(f"pallas KB=256 K=1000 H=100 loop: {t*1e3:.3f} ms")
+    if "kb512" in tags:
+        t = slope_time(loop_timer(hf, cm, cfg(gather_engine="pallas",
+                                              pallas_block_k=512)))
+        print(f"pallas KB=512 K=1000 H=100 loop: {t*1e3:.3f} ms")
+    if "kb1024" in tags:
+        t = slope_time(loop_timer(hf, cm, cfg(gather_engine="pallas",
+                                              pallas_block_k=1024)))
+        print(f"pallas KB=1024 K=1000 H=100 loop: {t*1e3:.3f} ms")
     if "nochunk" in tags:
         t = slope_time(loop_timer(hf, cm, cfg(chunk_patches=False)))
         print(f"onehot-nochunk K=1000 H=100 loop: {t*1e3:.3f} ms")
