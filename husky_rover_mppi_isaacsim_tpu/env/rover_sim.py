@@ -147,6 +147,51 @@ def contact_forces(
     return normal * load[:, None]
 
 
+def wheel_contact_forces(
+    params: RoverParams,
+    hf: HeightField,
+    state: RoverState,
+    wheelbase: float,
+    com_height: float = 0.2,
+) -> Array:
+    """Per-wheel contact normal loads (N, 4), order [FL, FR, RL, RR] — the
+    per-link force readback the reference's deformation engine regresses
+    from PhysX contacts (deformation_engine.py:666-680 via
+    simulation_manager_ros2.py:231-233).
+
+    Quasi-static rigid-body model on the local surface plane: the terrain
+    carries ``m g n_z`` along the quad normal, redistributed by COM load
+    transfer — gravity's in-plane components (lateral along the left axis,
+    longitudinal along heading) acting at ``com_height`` shift load toward
+    the downhill wheels: ``ΔN = m a h / (2 d)`` per wheel pair with d the
+    track (lateral) or wheelbase (longitudinal). Negative loads clip to 0
+    (wheel lift-off). On flat ground this reduces exactly to the old
+    ``m g / 4`` constant.
+    """
+    x, y = state.position[:, 0], state.position[:, 1]
+    q = hfield.corners_at(hf, x, y)
+    n = hfield.quad_normal(q, hf.resolution)
+    f = hfield.tangent_project(n, state.heading)      # unit fwd on surface
+    left = jnp.cross(n, f)                            # unit left axis
+    g = params.gravity
+    total = params.mass * g * n[:, 2]
+    a_lat = -g * left[:, 2]    # gravity accel along +left (left-side-low > 0)
+    a_long = -g * f[:, 2]      # gravity accel along +fwd (downhill > 0)
+    d_lat = params.mass * a_lat * com_height / (2.0 * params.track)
+    d_long = params.mass * a_long * com_height / (2.0 * wheelbase)
+    base = total / 4.0
+    loads = jnp.stack(
+        [
+            base + d_lat + d_long,   # front-left
+            base - d_lat + d_long,   # front-right
+            base + d_lat - d_long,   # rear-left
+            base - d_lat - d_long,   # rear-right
+        ],
+        axis=-1,
+    )
+    return jnp.maximum(loads, 0.0)
+
+
 def teleport(
     state: RoverState, hf: HeightField, index: Array, position: Array,
     heading: Array,

@@ -288,12 +288,30 @@ def mppi_step(
     if config.gather_engine in ("onehot", "pallas"):
         from ..core import patch as patch_mod
 
-        dem_res = (config.dem_resolution
-                   if config.dem_resolution is not None
-                   else _static_float(hf.resolution))
-        cm_res = (config.costmap_resolution
-                  if config.costmap_resolution is not None
-                  else _static_float(costmap.resolution))
+        # Prefer the concrete field resolution; static config hints only
+        # stand in when the field's value is traced. When both are known
+        # they must agree — a config whose hints were baked by auto_engine
+        # against a different-resolution field would size the patch schedule
+        # (and run _check_patch_coverage) against the stale hint and
+        # silently edge-clamp lookups (ADVICE r03 medium).
+        def _resolve(hint, concrete, name):
+            if concrete is None:
+                return hint
+            if hint is not None and abs(hint - concrete) > 1e-9 * max(
+                    abs(hint), abs(concrete)):
+                raise ValueError(
+                    f"MPPIConfig.{name}={hint} does not match the field's "
+                    f"concrete resolution {concrete}: the config was sized "
+                    f"for a different grid. Re-run auto_engine() against "
+                    f"this field or drop the stale hint."
+                )
+            return concrete
+
+        dem_res = _resolve(config.dem_resolution,
+                           _static_float(hf.resolution), "dem_resolution")
+        cm_res = _resolve(config.costmap_resolution,
+                          _static_float(costmap.resolution),
+                          "costmap_resolution")
         _check_patch_coverage(config, dem_res, cm_res)
         schedule = _patch_schedule(config, dem_res)
         x0, y0 = robot.position[0], robot.position[1]

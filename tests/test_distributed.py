@@ -14,7 +14,7 @@ from pathlib import Path
 
 WORKER = r'''
 import os, sys
-port, pid = sys.argv[1], int(sys.argv[2])
+port, pid, sync_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
@@ -106,8 +106,31 @@ def timed_steps(mesh_, num_samples, n):
 
 
 local_mesh = jax.sharding.Mesh(np.array(jax.local_devices()), ("sample",))
-t_local = timed_steps(local_mesh, PER_PROC, 4)          # 1 process's share
+# The global arm needs both processes stepping together (that IS the
+# measurement). The local arm must be uncontended: on a 2-core host a
+# sibling process timing its own local arm concurrently inflates the
+# baseline and fabricates >1 'efficiency' (ADVICE r03). File-flag barrier:
+# pid 1 idles (sleep-poll, ~no CPU) while pid 0 times the local arm, then
+# roles swap so both workers stay in lockstep for process teardown.
+from pathlib import Path as _P
+def _flag(name):
+    _P(sync_dir, name).touch()
+def _wait(name, timeout=180.0):
+    import time as _t
+    t0 = _t.time()
+    while not _P(sync_dir, name).exists():
+        if _t.time() - t0 > timeout:
+            raise TimeoutError(name)
+        _t.sleep(0.05)
+
 t_global = timed_steps(mesh, PER_PROC * 2, 4)           # same share x 2 procs
+_flag(f"global_done_{pid}"); _wait(f"global_done_{1-pid}")
+if pid == 0:
+    t_local = timed_steps(local_mesh, PER_PROC, 4)      # uncontended
+    _flag("local0_done")
+else:
+    _wait("local0_done")
+    t_local = timed_steps(local_mesh, PER_PROC, 4)
 if pid == 0:
     import json
     print("THROUGHPUT " + json.dumps({
@@ -136,9 +159,11 @@ def test_two_process_distributed_equality(tmp_path):
         PYTHONPATH=repo,
         HOME="/root",
     )
+    sync_dir = tmp_path / "sync"
+    sync_dir.mkdir()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), port, str(pid)],
+            [sys.executable, str(worker), port, str(pid), str(sync_dir)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=repo,
         )
@@ -157,25 +182,16 @@ def test_two_process_distributed_equality(tmp_path):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"WORKER_OK {pid}" in out, out[-3000:]
 
-    # persist the cross-process weak-scaling row into SCALING.json
+    # append the cross-process weak-scaling row to the gitignored run log
     # (BASELINE target 3: a number a pod run can be compared against; on
-    # this 2-core host it is oversubscription-bound — the >=80% ICI target
-    # awaits real multi-chip hardware)
+    # this 2-core host it is oversubscription-bound). The committed
+    # SCALING.json is only updated by the explicit scripts/update_scaling.py
+    # merge — a test run never dirties the tree (ADVICE/VERDICT r03).
     import json
 
     line = next(l for l in outs[0].splitlines() if l.startswith("THROUGHPUT "))
     row = json.loads(line[len("THROUGHPUT "):])
     assert row["weak_scaling_efficiency"] > 0.2, row
-    scaling_path = Path(__file__).parent.parent / "SCALING.json"
-    data = {}
-    if scaling_path.exists():
-        data = json.loads(scaling_path.read_text())
-    data["two_process_weak_scaling"] = dict(
-        row,
-        note=(
-            "2 OS processes x 4 virtual CPU devices, same per-process "
-            "sample batch; CPU-oversubscription-bound on the 2-core bench "
-            "host — the >=0.8 efficiency target needs real multi-chip ICI"
-        ),
-    )
-    scaling_path.write_text(json.dumps(data, indent=1))
+    runs_path = Path(__file__).parent.parent / "SCALING_RUNS.jsonl"
+    with open(runs_path, "a") as fh:
+        fh.write(json.dumps({"two_process_weak_scaling": row}) + "\n")

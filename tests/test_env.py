@@ -72,6 +72,88 @@ def test_rover_sim_turns_left():
     assert float(state.heading[0, 1]) > 0.2
 
 
+def test_wheel_contact_forces_flat_ground_is_quarter_weight():
+    """On flat ground the per-wheel load model reduces exactly to the old
+    m*g/4 constant (deformation_engine.py:666-680 regression input)."""
+    hw = 20.0
+    z = jnp.zeros((64, 64))
+    hf = HeightField.create(z, hw)
+    state = RoverState.create(np.array([[0.0, 0.0]]), [1.0, 0.0, 0.0], hf)
+    params = RoverParams()
+    loads = np.asarray(
+        rover_sim.wheel_contact_forces(params, hf, state, wheelbase=0.512)
+    )
+    expect = params.mass * params.gravity / 4.0
+    np.testing.assert_allclose(loads, expect, rtol=1e-5)
+
+
+def test_wheel_contact_forces_side_slope_loads_downhill_wheels():
+    """Driving along a side slope (+x heading on a surface rising with +y)
+    shifts load to the downhill (right, -y) wheels — the measured-contact
+    asymmetry the constant-force model missed (VERDICT r03 weak #5)."""
+    hw = 20.0
+    n = 64
+    ys = jnp.linspace(-hw, hw, n)
+    z = jnp.broadcast_to(0.3 * ys[None, :], (n, n))  # rises with +y (col=y)
+    # HeightField layout: Z[j, i] with i=x col... use create + probe to get
+    # the orientation: left axis (+y) uphill => right wheels downhill
+    hf = HeightField.create(z.T, hw)
+    state = RoverState.create(np.array([[0.0, 0.0]]), [1.0, 0.0, 0.0], hf)
+    params = RoverParams()
+    loads = np.asarray(
+        rover_sim.wheel_contact_forces(params, hf, state, wheelbase=0.512)
+    )[0]
+    fl, fr, rl, rr = loads
+    # verify the probe surface really tilts along y (guard the fixture)
+    normal = np.asarray(
+        rover_sim.hfield.normal_at(hf, jnp.asarray([0.0]), jnp.asarray([0.0]))
+    )[0]
+    assert abs(normal[1]) > 0.05, f"fixture not a side slope: {normal}"
+    uphill_pair = (fl + rl) if normal[1] < 0 else (fr + rr)
+    downhill_pair = (fr + rr) if normal[1] < 0 else (fl + rl)
+    assert downhill_pair > uphill_pair * 1.1, loads
+    # front/rear symmetric when heading is along the contour line
+    np.testing.assert_allclose(fl, rl, rtol=1e-4)
+    np.testing.assert_allclose(fr, rr, rtol=1e-4)
+    # total vertical support stays m g n_z
+    np.testing.assert_allclose(
+        loads.sum(), params.mass * params.gravity * normal[2], rtol=1e-4
+    )
+
+
+def test_deform_window_asymmetric_sink_on_side_slope():
+    """End-to-end: per-wheel measured loads produce deeper sink under the
+    downhill track than the uphill one (the asymmetry a constant mass*g/4
+    cannot produce)."""
+    from husky_rover_mppi_isaacsim_tpu.physics import (
+        DeformationEngine,
+        DeformationEngineConf,
+    )
+
+    eng = DeformationEngine(DeformationEngineConf(terrain_resolution=0.05))
+    window = jnp.zeros((200, 200))
+    counts = jnp.zeros((200, 200), jnp.int32)
+    track = 1.2
+    body = np.array([5.0, 5.0])
+    left = np.array([0.0, 1.0])
+    positions = np.stack([
+        body + left * track / 2, body - left * track / 2,
+        body + left * track / 2 - [0.5, 0.0],
+        body - left * track / 2 - [0.5, 0.0],
+    ])
+    loads = np.array([60.0, 120.0, 60.0, 120.0])  # right wheels downhill
+    w2, _ = eng.deform_window(
+        window, counts, 0.05, (0.0, 0.0), positions, np.zeros(4), loads
+    )
+    # depth under right (low-load-axis -y) track vs left track
+    sink = np.asarray(w2 - window)
+    col_left = int((5.0 + track / 2) / 0.05)
+    col_right = int((5.0 - track / 2) / 0.05)
+    left_sink = sink[:, col_left - 3: col_left + 4].min()
+    right_sink = sink[:, col_right - 3: col_right + 4].min()
+    assert right_sink < left_sink < 0.0, (left_sink, right_sink)
+
+
 def test_teleport_resets_wheels():
     hf, cm, hw = _world()
     state = RoverState.create(np.zeros((3, 2)), [1.0, 0.0, 0.0], hf)

@@ -289,3 +289,9 @@ def test_roll_pass_counts_follows_window():
     out2 = np.asarray(_roll_pass_counts(counts, 0, -3))
     np.testing.assert_array_equal(out2[:, 3:], ref[:, :3])
     assert (out2[:, :3] == 0).all()
+    # a jump of >= one full window means the streamer full-rebuilt — nothing
+    # carries over, counts reset wholesale instead of wrapping stale state
+    # (ADVICE r03)
+    assert (np.asarray(_roll_pass_counts(counts, 6, 0)) == 0).all()
+    assert (np.asarray(_roll_pass_counts(counts, 0, -7)) == 0).all()
+    assert (np.asarray(_roll_pass_counts(counts, 9, 9)) == 0).all()
