@@ -56,6 +56,21 @@ class MPPIConfig:
     # (MPPI_isaac.py:548-549 / 688-689).
     rollout_lag: tuple = (3.5, 0.96)
     optimal_lag: tuple = (3.0, 0.92)
+    # Adaptive exploration-noise floor: sigma = max(b, b -/+ omega^2) per
+    # channel after each loop. The reference uses 0.4 in the standalone
+    # controller (MPPI_isaac.py:777-778) and 0.3 in the thesis's statistics
+    # runs (MPPI_OO_current.py:684-685).
+    sigma_base: float = 0.4
+    # Which slope critic scores the K rollouts. "wheels": per-pair max of
+    # left/right wheel-track slopes (the Isaac production critic,
+    # critics_warp.py:168-218). "body": body-trajectory slope — the variant
+    # the thesis's statistics runs used (MPPI_OO_current.py launches the
+    # 15-arg kernels with no lw/rw wheel arrays, :500-543; its critics
+    # predate the wheel variant). In 2D projection mode the wheel critic
+    # always degrades to body (no wheel tracks exist), so "wheels" gives
+    # the 3D arm a nearest-cell-noise handicap the 2D arm never pays —
+    # the stats experiment must use "body" for arm symmetry.
+    slope_critic: str = "wheels"
     exact: bool = False              # True: lax.scan wheel lag (oracle parity)
                                      # False: MXU Toeplitz matmul
     return_rollouts: bool = False    # include all K trajectories in the output
@@ -90,6 +105,11 @@ class MPPIConfig:
         if self.projection not in ("3d", "2d"):
             raise ValueError(
                 f"projection={self.projection!r} — must be '3d' or '2d'"
+            )
+        if self.slope_critic not in ("wheels", "body"):
+            raise ValueError(
+                f"slope_critic={self.slope_critic!r} — must be 'wheels' or "
+                "'body'"
             )
 
     @property
@@ -152,15 +172,19 @@ class RobotState(NamedTuple):
     right_wheel_speed: Array # scalar
 
     @classmethod
-    def create(cls, x, y, heading, dtype=jnp.float32) -> "RobotState":
+    def create(cls, x, y, heading, dtype=jnp.float32,
+               wheel_speed: float = 0.0) -> "RobotState":
+        """``wheel_speed``: initial left/right wheel linear speed — the
+        thesis experiment drivers start rolling at 1.0 m/s
+        (MPPI_OO_current.py Robot init / compare_3d_2d.py:207-208)."""
         heading = jnp.asarray(heading, dtype)
         heading = heading / jnp.linalg.norm(heading)
         return cls(
             position=jnp.array([x, y], dtype),
             z=jnp.asarray(0.0, dtype),
             heading=heading,
-            left_wheel_speed=jnp.asarray(0.0, dtype),
-            right_wheel_speed=jnp.asarray(0.0, dtype),
+            left_wheel_speed=jnp.asarray(wheel_speed, dtype),
+            right_wheel_speed=jnp.asarray(wheel_speed, dtype),
         )
 
 
@@ -173,11 +197,16 @@ class ControllerState(NamedTuple):
     std_u2: Array      # scalar
 
     @classmethod
-    def create(cls, config: MPPIConfig, dtype=jnp.float32) -> "ControllerState":
+    def create(cls, config: MPPIConfig, dtype=jnp.float32,
+               initial_u: float = 0.0) -> "ControllerState":
+        """``initial_u``: initial optimal input fill — the thesis drivers
+        initialize the sequences to ones (forward bias,
+        MPPI_OO_current.py:367) so the first loops command ~1 m/s instead
+        of spinning up from rest."""
         h = config.horizon
         return cls(
-            optimal_u1=jnp.zeros((h,), dtype),
-            optimal_u2=jnp.zeros((h,), dtype),
+            optimal_u1=jnp.full((h,), initial_u, dtype),
+            optimal_u2=jnp.full((h,), initial_u, dtype),
             std_u1=jnp.asarray(config.inputs.std_u1, dtype),
             std_u2=jnp.asarray(config.inputs.std_u2, dtype),
         )
@@ -359,6 +388,10 @@ def mppi_step(
     else:
         r = roll_25d(hf, robot.position, robot.heading, lin, ang, config.dt)
         traj, headings, lw, rw = r
+        if config.slope_critic == "body":
+            # thesis-statistics critic form: body slope for both arms
+            # (MPPI_OO_current.py:500-543 — kernels launched without lw/rw)
+            lw = rw = traj
 
     # 4. Critic stack (critics_warp.py:302-329).
     costs = crit.evaluate_trajectories(
@@ -386,12 +419,14 @@ def mppi_step(
         hf, robot.position, robot.heading, opt_lin[None], opt_ang[None], config.dt
     )
 
+    b = config.sigma_base
     new_ctrl = ControllerState(
         optimal_u1=opt_u1,
         optimal_u2=opt_u2,
-        # Adaptive exploration noise (MPPI_isaac.py:777-778).
-        std_u1=jnp.maximum(0.4, 0.4 - opt_ang[0] * opt_ang[0]),
-        std_u2=jnp.maximum(0.4, 0.4 + opt_ang[0] * opt_ang[0]),
+        # Adaptive exploration noise (MPPI_isaac.py:777-778 /
+        # MPPI_OO_current.py:684-685).
+        std_u1=jnp.maximum(b, b - opt_ang[0] * opt_ang[0]),
+        std_u2=jnp.maximum(b, b + opt_ang[0] * opt_ang[0]),
     )
     out = StepOutput(
         linear_velocity=opt_lin[0],

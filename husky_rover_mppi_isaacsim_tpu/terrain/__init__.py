@@ -9,6 +9,7 @@ from .costmap import (
     reference_costmap,
     update_costmap_with_obstacles,
 )
+from .smallscale import thesis_statistics_terrain
 from .surface import (
     STANDALONE_CRATER_BUMPS,
     bump_surface,
@@ -30,4 +31,5 @@ __all__ = [
     "crater_surface",
     "imported_surface",
     "surface_heightfield",
+    "thesis_statistics_terrain",
 ]

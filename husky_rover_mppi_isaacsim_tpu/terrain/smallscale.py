@@ -160,6 +160,43 @@ class MoonyardGenerator:
         return dem + craters[: dem.shape[0], : dem.shape[1]]
 
 
+def thesis_statistics_terrain(
+    seed: int = 42,
+    size_m: float = 150.0,
+    resolution: float = 0.1,
+    crater_densities: tuple = (0.02, 0.05, 0.13),
+    crater_radius_ranges: tuple = ((1.5, 2.5), (0.75, 1.5), (0.25, 0.5)),
+    max_elevation: float = 1.2,
+    min_elevation: float = -1.2,
+    z_scale: float = 1.0,
+) -> Array:
+    """Terrain statistically matched to the thesis's NASA-DEM test map
+    (``thesis_master/work summarise:47-49``): 150 x 150 m at 0.1 m/px with
+    gentle bumps and craters at a total density of 1/5 m^2 (the tier
+    densities above sum to 0.2 craters/m^2). The actual ``test_nathan.npy``
+    DEM is LFS-stripped from the reference snapshot, so the 2D-vs-3D
+    statistics experiment regenerates an equivalent surface: low-frequency
+    base undulation (bumps) + hardcore-Poisson crater tiers rendered with
+    the shared crater stamper. Returns heights ``(N, N)``, row = x."""
+    conf = MoonyardConf(
+        base=BaseTerrainGeneratorConf(
+            x_size=size_m, y_size=size_m, resolution=resolution,
+            max_elevation=max_elevation, min_elevation=min_elevation,
+            seed=seed,
+        ),
+        crater=CraterSamplerConf(
+            densities=crater_densities,
+            radius_ranges=crater_radius_ranges,
+            num_profiles=64,
+            seed=seed,
+        ),
+        is_lab=False,
+        is_yard=False,
+        z_scale=z_scale,
+    )
+    return MoonyardGenerator(conf).randomize()
+
+
 def dem_to_mesh_grid(dem: np.ndarray, resolution: float):
     """Vertices (N, 3) + triangle indices (M, 3) of the regular grid mesh —
     two triangles per pixel (buildGrid, terrain_manager.py:151-193)."""
