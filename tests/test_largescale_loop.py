@@ -160,6 +160,28 @@ def test_path_mostly_avoids_saturated_cost(run_result):
     assert saturated / checked < 0.05, f"{saturated}/{checked} saturated"
 
 
+@pytest.mark.slow
+def test_prestaged_costmap_matches_synchronous_rebuild():
+    """Pre-staged shifts actually fire (the heading-lookahead predictor
+    catches boundary crossings) and every staged costmap is bit-identical
+    to the synchronous rebuild at the same anchor (asserted in-loop via
+    verify_prestage) — the correctness contract of hiding the shift latency
+    (high_resolution_DEM_workers.py:199-765 role; VERDICT r03 #2)."""
+    conf = loop_conf(
+        loop=ClosedLoopConfig(mppi=MPPIConfig(num_samples=128, horizon=50)),
+        goal=(32.0, 5.0),
+        max_steps=6000,
+        verify_prestage=True,
+    )
+    loop = LargeScaleClosedLoop(conf)
+    res = loop.run()
+    assert res.block_shifts >= 2
+    assert res.prestage_hits >= 1, (
+        f"prestage never hit: {res.prestage_hits}h/{res.prestage_misses}m "
+        f"over {res.block_shifts} shifts"
+    )
+
+
 def test_deformation_lowers_terrain_under_track():
     """With the deformation engine enabled the rover's pass visibly lowers
     the DEM and subsequent rollouts see the new heights
