@@ -75,6 +75,13 @@ class StreamerConf:
     generate_craters: bool = True
     max_cached_blocks: int = 256
     prefetch: bool = True          # travel-direction block prefetch on shift
+    # Route batched block bicubic upsamples through the native C++ TilePool
+    # (husky_native.cpp thread pool — the worker-pool role of
+    # high_resolution_DEM_workers.py:199-466). "auto": only on the CPU
+    # backend (on TPU the device bicubic matmuls win); "always"/"never"
+    # force it. The crater stamp stays on device either way.
+    native_pool: str = "auto"      # "auto" | "always" | "never"
+    native_pool_workers: int = 8   # the reference's 8 upsample workers
 
     def __post_init__(self) -> None:
         assert self.block_size > 0 and self.resolution > 0
@@ -334,6 +341,53 @@ class TerrainStreamer:
         ys = np.clip(np.arange(py - margin, py + lr_px + margin), 0, w - 1)
         return self.lr_dem[jnp.asarray(xs)][:, jnp.asarray(ys)]
 
+    def _get_pool(self):
+        """Lazily create the native TilePool when configured for this
+        backend; None -> pure device path."""
+        mode = self.conf.native_pool
+        if mode == "never":
+            return None
+        if mode == "auto" and jax.default_backend() != "cpu":
+            return None
+        if getattr(self, "_pool", None) is None:
+            from .. import native
+
+            if not native.available():
+                self._pool = False
+            else:
+                self._pool = native.TilePool(self.conf.native_pool_workers)
+        return self._pool or None
+
+    def bulk_build(self, keys) -> int:
+        """Build many blocks at once. With the native pool enabled the
+        bicubic upsamples of every missing block run concurrently on C++
+        threads (shortest-queue dispatch — the 8-worker upsample pool of
+        high_resolution_DEM_workers.py:107-196) while crater stamps follow
+        on device; otherwise each block builds through
+        :meth:`build_block`'s device path. Returns the number built."""
+        missing = [k for k in keys if k not in self.block_cache]
+        if not missing:
+            return 0
+        pool = self._get_pool()
+        if pool is None:
+            for k in missing:
+                self.build_block(*k)
+            return len(missing)
+        from .. import native
+
+        jobs = {}
+        for k in missing:
+            patch = np.asarray(self._lr_patch(*k), np.float32)
+            jobs[pool.submit(native.BICUBIC, patch,
+                             self.conf.upscale_factor)] = k
+        results = pool.collect_all(timeout_s=300.0)
+        m = 2 * self.conf.upscale_factor
+        bpx = self.conf.block_px
+        for jid, k in jobs.items():
+            hr = jnp.asarray(results[jid][m:m + bpx, m:m + bpx])
+            self._finish_block(k[0], k[1], hr)
+        return len(missing)
+
     def build_block(self, bx: int, by: int) -> Array:
         """Build one HR block: bicubic upsample of the LR patch + crater
         stamp (the two worker jobs of generate_terrain_blocks,
@@ -348,6 +402,11 @@ class TerrainStreamer:
         hr = jax.lax.dynamic_slice(
             hr, (margin_px, margin_px), (conf.block_px, conf.block_px)
         )
+        return self._finish_block(bx, by, hr)
+
+    def _finish_block(self, bx: int, by: int, hr: Array) -> Array:
+        """Crater stamp + cache insert for an upsampled block base."""
+        conf = self.conf
         if conf.generate_craters:
             field = self._block_field(bx, by)
             origin = jnp.asarray(
@@ -360,7 +419,7 @@ class TerrainStreamer:
             hr = hr + craters
         if len(self.block_cache) >= conf.max_cached_blocks:
             self.block_cache.pop(next(iter(self.block_cache)))
-        self.block_cache[key] = hr
+        self.block_cache[(bx, by)] = hr
         return hr
 
     # --- window management --------------------------------------------------
@@ -395,6 +454,10 @@ class TerrainStreamer:
             and abs(new_anchor[1] - old_anchor[1]) < side
         )
         if not small_shift:
+            self.bulk_build([
+                (self.anchor[0] + i, self.anchor[1] + j)
+                for i in range(side) for j in range(side)
+            ])
             rows = []
             for i in range(side):
                 row = [
@@ -407,16 +470,19 @@ class TerrainStreamer:
             di = new_anchor[0] - old_anchor[0]
             dj = new_anchor[1] - old_anchor[1]
             win = jnp.roll(self.window, (-di * bpx, -dj * bpx), (0, 1))
-            for i in range(side):
-                oi = new_anchor[0] + i - old_anchor[0]
-                for j in range(side):
-                    oj = new_anchor[1] + j - old_anchor[1]
-                    if 0 <= oi < side and 0 <= oj < side:
-                        continue  # content carried over by the roll
-                    blk = self.build_block(new_anchor[0] + i, new_anchor[1] + j)
-                    win = jax.lax.dynamic_update_slice(
-                        win, blk, (i * bpx, j * bpx)
-                    )
+            entering = [
+                (i, j)
+                for i in range(side) for j in range(side)
+                if not (0 <= new_anchor[0] + i - old_anchor[0] < side
+                        and 0 <= new_anchor[1] + j - old_anchor[1] < side)
+            ]
+            self.bulk_build([(new_anchor[0] + i, new_anchor[1] + j)
+                             for i, j in entering])
+            for i, j in entering:
+                blk = self.build_block(new_anchor[0] + i, new_anchor[1] + j)
+                win = jax.lax.dynamic_update_slice(
+                    win, blk, (i * bpx, j * bpx)
+                )
             self.window = win
             if self.conf.prefetch:
                 self._prefetch(di, dj)
@@ -429,14 +495,14 @@ class TerrainStreamer:
         asynchronously so this does not block the control loop."""
         side = self.conf.blocks_per_side
         a = self.anchor
+        band = []
         if di:
             row = a[0] + (side if di > 0 else -1)
-            for j in range(side):
-                self.build_block(row, a[1] + j)
+            band += [(row, a[1] + j) for j in range(side)]
         if dj:
             col = a[1] + (side if dj > 0 else -1)
-            for i in range(side):
-                self.build_block(a[0] + i, col)
+            band += [(a[0] + i, col) for i in range(side)]
+        self.bulk_build(band)
 
     # --- queries ------------------------------------------------------------
     # All window reads are jitted: an eagerly-indexed result fetched to the
