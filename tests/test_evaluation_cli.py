@@ -189,3 +189,70 @@ def test_eval_json_artifact():
     margins = {int(k): d["trimmed_means"]["distance"]["improvement_pct"]
                for k, d in t["per_k"].items()}
     assert margins[350] > margins[1000]
+
+
+def test_thesis_rescore_semantics(rng):
+    """thesis_rescore implements the 'for stats' kernel variants
+    (critics_warp.py:256-265 commented block + evaluate_trajectory.py):
+    path-length distance, bucketed obstacle near-miss costs, collision
+    flag on any >0.99 cell, drop-first-waypoint."""
+    from husky_rover_mppi_isaacsim_tpu.mppi.evaluation import (
+        path_length,
+        thesis_rescore,
+        trim_greatest,
+    )
+
+    # straight 10 m path at 1 m/s, flat z
+    n = 101
+    traj = np.stack([np.linspace(0, 10, n), np.zeros(n), np.zeros(n)], -1)
+    vels = np.full(n, 1.0)
+    cm_img = np.zeros((100, 100))
+    cm = as_costmap(cm_img, 20.0, dtype=jnp.float64)
+    log = TrajectoryLog(1, traj, vels, (0.0, 0.0), (10.0, 0.0))
+    s = thesis_rescore(log, cm)
+    # distance = path length (every-5th-waypoint sampling of a straight
+    # line is exact)
+    assert abs(s["distance"] - 10.0) < 1e-6
+    assert abs(path_length(traj) - 10.0) < 1e-9
+    # speed: (2-1)/(1+1e-4) per waypoint, first dropped
+    assert abs(s["speed"] - (n - 1) * (2.0 - 1.0) / (1.0 + 1e-4)) < 1e-3
+    # flat ground: slope critic = 1 per strided pair
+    assert s["slope"] > 0 and abs(s["slope"] - round(s["slope"])) < 1e-6
+    assert s["obstacle"] == 0.0 and not s["collided"]
+
+    # near-miss buckets and collision-abort
+    cm_img2 = np.full((100, 100), 0.7)
+    cm2 = as_costmap(cm_img2, 20.0, dtype=jnp.float64)
+    s2 = thesis_rescore(log, cm2)
+    assert s2["obstacle"] == float(n - 1)  # +1 per waypoint in (0.65,0.75)
+    cm_img3 = np.full((100, 100), 1.0)
+    cm3 = as_costmap(cm_img3, 20.0, dtype=jnp.float64)
+    assert thesis_rescore(log, cm3)["collided"]
+
+    # drop-5-greatest aggregation
+    vals = list(range(20))
+    assert trim_greatest(vals, 5) == list(range(15))
+    assert trim_greatest([1.0, 2.0], 5) == [1.0, 2.0]
+
+
+def test_thesis_protocol_experiment_structure():
+    """Tiny-scale structural run of the thesis-protocol driver: paired
+    arms, per-critic table, arm diagnostics (the full-scale statistical
+    artifact is EVAL_r04.json, produced on chip)."""
+    from husky_rover_mppi_isaacsim_tpu.mppi.evaluation import (
+        run_thesis_protocol_experiment,
+    )
+
+    t = run_thesis_protocol_experiment(ks=(32,), runs_per_arm=2,
+                                       max_loops=60)
+    assert t["config"]["slope_critic"] == "body"
+    assert t["config"]["slope_weight"] == 35.5
+    entry = t["per_k"][32]
+    for arm in ("2d", "3d"):
+        a = entry["arms"][arm]
+        assert a["failed"] + a["collided"] + a["completed"] == 2
+        assert 0.0 <= a["stall_fraction"] <= 1.0
+        # thesis init: no startup spike — the rover rolls from the start
+        assert a["mean_velocity"] > 0.3
+    assert set(entry["critics"]) == {"distance", "speed", "slope",
+                                    "obstacle"}
