@@ -285,7 +285,7 @@ def run_largescale(tree) -> dict:
         start=(start["x"], start["y"]),
         goal=(goal["x"], goal["y"]),
         max_steps=int(tree.get("max_steps", 20000)),
-        terrain_check_every=int(tree.get("terrain_check_every", 3)),
+        terrain_check_every=int(tree.get("terrain_check_every", 12)),
         seed=int(tree.get("seed", 42)),
         deform=deform,
     )
@@ -306,17 +306,41 @@ def run_largescale(tree) -> dict:
             "mean": round(1e3 * float(np.mean(lat)), 2) if lat else None,
             "max": round(1e3 * float(np.max(lat)), 2) if lat else None,
         },
+        "prestage": {"hits": res.prestage_hits,
+                     "misses": res.prestage_misses},
     }
 
 
 def run_evaluation(tree) -> dict:
     """The thesis's 2D-vs-3D projection experiment sweep
     (compare_3d_2d.py / stats_results.py shape): paired goal-seek runs per
-    K, critic re-scoring, trimmed-mean table + collision counts per arm."""
-    from .mppi.evaluation import run_2d_vs_3d_experiment
+    K, critic re-scoring, trimmed-mean table + collision counts per arm.
+
+    ``evaluation.protocol: thesis`` selects the thesis's own statistics
+    protocol (per-path per-critic rescore with collision-abort and
+    drop-5-greatest on thesis-matched terrain —
+    ``run_thesis_protocol_experiment``); the default ``episode`` protocol
+    is the legacy episode-total comparison."""
+    from .mppi.evaluation import (
+        run_2d_vs_3d_experiment,
+        run_thesis_protocol_experiment,
+    )
 
     ev = tree.get("evaluation", {}) or {}
     world = _world_cfg(tree)
+    if str(ev.get("protocol", "episode")) == "thesis":
+        table = run_thesis_protocol_experiment(
+            ks=tuple(ev.get("ks", (350, 500, 1000))),
+            runs_per_arm=int(ev.get("runs_per_arm", 8)),
+            horizon=int(ev.get("horizon", 100)),
+            max_loops=int(ev.get("max_loops", 3500)),
+            half_width=float(world.get("half_width", 75.0)),
+            seed=int(tree.get("seed", 42)),
+            slope_weight=float(ev.get("slope_weight", 35.5)),
+            gather_engine=str(ev.get("gather_engine", "direct")),
+            slope_critic=str(ev.get("slope_critic", "body")),
+        )
+        return {"mode": "evaluation", **table}
     table = run_2d_vs_3d_experiment(
         ks=tuple(ev.get("ks", (350, 500, 1000))),
         runs_per_arm=int(ev.get("runs_per_arm", 8)),
