@@ -374,10 +374,19 @@ def mppi_step(
     if config.gather_engine == "pallas":
         import functools as _ft
 
-        roll_25d = _ft.partial(ro.rollout_25d_pallas,
-                               block_k=config.pallas_block_k)
+        # body-slope mode never consumes the wheel tracks: skip their
+        # lookups in the fused kernel (half the selection matmuls)
+        roll_25d = _ft.partial(
+            ro.rollout_25d_pallas, block_k=config.pallas_block_k,
+            compute_wheels=(config.slope_critic == "wheels"))
+        # the optimal rollout's wheel tracks are never consumed either
+        # (only trajectory + headings feed kinematic_advance)
+        opt_roll = _ft.partial(ro.rollout_25d_pallas,
+                               block_k=config.pallas_block_k,
+                               compute_wheels=False)
     else:
         roll_25d = ro.rollout_25d
+        opt_roll = ro.rollout_25d
     if config.projection == "2d":
         traj, headings = ro.rollout_2d(
             hf, robot.position, robot.heading, lin, ang, config.dt
@@ -415,7 +424,7 @@ def mppi_step(
 
     # 7. Optimal rollout — always the 3D kernel, even in 2D mode
     #    (MPPI_isaac.py:696-720).
-    opt = roll_25d(
+    opt = opt_roll(
         hf, robot.position, robot.heading, opt_lin[None], opt_ang[None], config.dt
     )
 

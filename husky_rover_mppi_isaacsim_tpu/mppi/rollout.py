@@ -179,6 +179,7 @@ def rollout_25d_pallas(
     angular_velocities: Array,
     dt: float,
     block_k: int = 128,
+    compute_wheels: bool = True,
 ) -> Rollout:
     """:func:`rollout_25d` through the fused Pallas kernel
     (ops/rollout_pallas.py): patches resident in VMEM, one kernel invocation
@@ -219,7 +220,7 @@ def rollout_25d_pallas(
     for field, n in chunks:
         traj, heads, lw, rw = rp.rollout_chunk(
             field, x, y, hd, lin[:, t0:t0 + n], ang[:, t0:t0 + n], dt,
-            block_k=block_k, interpret=interpret,
+            block_k=block_k, interpret=interpret, wheels=compute_wheels,
         )
         outs.append((traj, heads, lw, rw))
         x, y = traj[:, -1, 0], traj[:, -1, 1]

@@ -55,7 +55,7 @@ def _cross(ax, ay, az, bx, by, bz):
 
 
 def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
-            out_ref, *, P: int, KB: int, H: int):
+            out_ref, *, P: int, KB: int, H: int, wheels: bool):
     dt = sf_ref[_SF["dt"]]
     res = sf_ref[_SF["res"]]
     x_min = sf_ref[_SF["x_min"]]
@@ -155,27 +155,30 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
         ohz = uz * ct + cz * st + nz * ad * (1.0 - ct)
         ohx, ohy, ohz = _normalize3(ohx, ohy, ohz)
 
-        # wheel tracks (projection_warp.py:332-348)
-        wx, wy, _wz = _cross(nx, ny, nz, ohx, ohy, ohz)
-        lwx = x + WHEEL_OFFSET * wx
-        lwy = y + WHEEL_OFFSET * wy
-        rwx = x - WHEEL_OFFSET * wx
-        rwy = y - WHEEL_OFFSET * wy
-        lwz = lookup_nearest(lwx, lwy)
-        rwz = lookup_nearest(rwx, rwy)
-
         out_ref[0, 0, t, :] = x[0]
         out_ref[0, 1, t, :] = y[0]
         out_ref[0, 2, t, :] = height[0]
         out_ref[0, 3, t, :] = ohx[0]
         out_ref[0, 4, t, :] = ohy[0]
         out_ref[0, 5, t, :] = ohz[0]
-        out_ref[0, 6, t, :] = lwx[0]
-        out_ref[0, 7, t, :] = lwy[0]
-        out_ref[0, 8, t, :] = lwz[0]
-        out_ref[0, 9, t, :] = rwx[0]
-        out_ref[0, 10, t, :] = rwy[0]
-        out_ref[0, 11, t, :] = rwz[0]
+        if wheels:
+            # wheel tracks (projection_warp.py:332-348) — skipped entirely
+            # in body-slope-critic mode, where lw/rw are never consumed:
+            # the two nearest-cell lookups are 2 of the 4 one-hot
+            # selections per step, i.e. half the kernel's MXU work
+            wx, wy, _wz = _cross(nx, ny, nz, ohx, ohy, ohz)
+            lwx = x + WHEEL_OFFSET * wx
+            lwy = y + WHEEL_OFFSET * wy
+            rwx = x - WHEEL_OFFSET * wx
+            rwy = y - WHEEL_OFFSET * wy
+            lwz = lookup_nearest(lwx, lwy)
+            rwz = lookup_nearest(rwx, rwy)
+            out_ref[0, 6, t, :] = lwx[0]
+            out_ref[0, 7, t, :] = lwy[0]
+            out_ref[0, 8, t, :] = lwz[0]
+            out_ref[0, 9, t, :] = rwx[0]
+            out_ref[0, 10, t, :] = rwy[0]
+            out_ref[0, 11, t, :] = rwz[0]
         return (x, y, ohx, ohy, ohz)
 
     x = xy_ref[0, 0, :][None, :]
@@ -186,7 +189,8 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
     jax.lax.fori_loop(0, H, body, (x, y, hx, hy, hz))
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "interpret", "wheels"))
 def rollout_chunk(
     pf: PatchField,
     x: Array,          # (K,) start x per sample
@@ -197,6 +201,7 @@ def rollout_chunk(
     dt,
     block_k: int = 128,
     interpret: bool = False,
+    wheels: bool = True,
 ):
     """Run one horizon chunk for all K samples through the fused kernel.
 
@@ -204,7 +209,9 @@ def rollout_chunk(
     contract as the per-chunk scan inside ``mppi/rollout.py::rollout_25d``.
     K is padded up to a multiple of ``block_k`` (padded lanes compute
     clamped garbage that is sliced off). float32 only (the 3-split selection
-    is a float32 decomposition)."""
+    is a float32 decomposition). With ``wheels=False`` the wheel-track
+    lookups are skipped (half the selection matmuls) and ``lw = rw = traj``
+    — the body-slope-critic configuration (MPPIConfig.slope_critic)."""
     if pf.z3 is None:
         raise ValueError("pallas rollout requires a float32 patch (z3 split)")
     K, H = lin.shape
@@ -236,8 +243,9 @@ def rollout_chunk(
         jnp.asarray(pf.parent_cols, jnp.int32),
     ])
 
+    NCH = 12 if wheels else 6
     out = pl.pallas_call(
-        functools.partial(_kernel, P=P, KB=KB, H=H),
+        functools.partial(_kernel, P=P, KB=KB, H=H, wheels=wheels),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -253,14 +261,14 @@ def rollout_chunk(
             pl.BlockSpec((3, P, P), lambda g: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 12, H, KB), lambda g: (g, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, NCH, H, KB), lambda g: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, 12, H, KB), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, NCH, H, KB), jnp.float32),
         interpret=interpret,
     )(sf, si, xy, hd, lin_b, ang_b, pf.z3)
 
-    # (G, 12, H, KB) -> (K, 12, H)
-    flat = jnp.moveaxis(out, 3, 1).reshape(G * KB, 12, H)[:K]
+    # (G, NCH, H, KB) -> (K, NCH, H)
+    flat = jnp.moveaxis(out, 3, 1).reshape(G * KB, NCH, H)[:K]
 
     def comp(a, b, c):
         return jnp.stack([flat[:, a, :], flat[:, b, :], flat[:, c, :]],
@@ -268,6 +276,8 @@ def rollout_chunk(
 
     traj = comp(0, 1, 2)
     headings = comp(3, 4, 5)
+    if not wheels:
+        return traj, headings, traj, traj
     lw = comp(6, 7, 8)
     rw = comp(9, 10, 11)
     return traj, headings, lw, rw

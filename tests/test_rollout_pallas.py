@@ -155,3 +155,36 @@ def test_auto_engine_selection():
     assert cpu.dem_resolution == 0.025
     # the chosen patch always covers the reach
     assert tpu.patch_size >= tpu.required_patch_cells(0.025)
+
+
+def test_rollout_chunk_wheels_skip_matches_traj():
+    """wheels=False returns identical trajectory/headings (the wheel
+    lookups are pure consumers of the carry — skipping them cannot change
+    the rollout) with lw = rw = traj aliases."""
+    import numpy as np
+
+    from husky_rover_mppi_isaacsim_tpu.core import HeightField
+    from husky_rover_mppi_isaacsim_tpu.core.patch import extract_patch
+    from husky_rover_mppi_isaacsim_tpu.ops.rollout_pallas import rollout_chunk
+    from husky_rover_mppi_isaacsim_tpu.terrain import crater_surface
+
+    hw = 25.0
+    z = crater_surface(256, hw, [((-5.0, 8.0), 1.5, 8.0)],
+                       dtype=jnp.float32)
+    hf = HeightField.create(z, hw, dtype=jnp.float32)
+    pf = extract_patch(hf, jnp.asarray(0.0), jnp.asarray(0.0), 128)
+    K, H = 8, 20
+    rng = np.random.default_rng(0)
+    x = jnp.zeros((K,), jnp.float32)
+    y = jnp.zeros((K,), jnp.float32)
+    hd = jnp.broadcast_to(jnp.asarray([1.0, 0.2, 0.0], jnp.float32), (K, 3))
+    hd = (hd / jnp.linalg.norm(hd, axis=-1, keepdims=True)).astype(jnp.float32)
+    lin = jnp.asarray(rng.uniform(0.3, 2.0, (K, H)), jnp.float32)
+    ang = jnp.asarray(rng.uniform(-0.5, 0.5, (K, H)), jnp.float32)
+    full = rollout_chunk(pf, x, y, hd, lin, ang, 0.045, interpret=True)
+    slim = rollout_chunk(pf, x, y, hd, lin, ang, 0.045, interpret=True,
+                         wheels=False)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(slim[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(slim[1]))
+    np.testing.assert_array_equal(np.asarray(slim[2]), np.asarray(slim[0]))
+    np.testing.assert_array_equal(np.asarray(slim[3]), np.asarray(slim[0]))
