@@ -190,6 +190,10 @@ def test_deformation_lowers_terrain_under_track():
         loop=ClosedLoopConfig(mppi=MPPIConfig(num_samples=128, horizon=50)),
         goal=(8.0, 0.0),
         max_steps=1200,
+        # fine-grained chunks keep this short traverse inside its starting
+        # block (a transient boundary crossing would roll the window and
+        # defeat the before/after locality comparison)
+        terrain_check_every=3,
         deform=DeformationEngineConf(
             terrain_resolution=0.1,
         ),
