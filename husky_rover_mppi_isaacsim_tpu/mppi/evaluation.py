@@ -349,6 +349,7 @@ def run_thesis_protocol_experiment(
     gather_engine: str = "direct",
     terrain_seed: int = 42,
     slope_critic: str = "body",
+    terrain_z_scale: float = 1.0,
     dtype=None,
 ) -> dict:
     """The thesis's 2D-vs-3D statistics experiment under the thesis's OWN
@@ -391,7 +392,10 @@ def run_thesis_protocol_experiment(
     )
 
     dtype = dtype or jnp.float32
-    z = thesis_statistics_terrain(seed=terrain_seed, size_m=2 * half_width)
+    z = thesis_statistics_terrain(seed=terrain_seed, size_m=2 * half_width,
+                                  z_scale=terrain_z_scale,
+                                  max_elevation=1.2 * terrain_z_scale,
+                                  min_elevation=-1.2 * terrain_z_scale)
     hf = HeightField.create(jnp.asarray(z, dtype), half_width, dtype=dtype)
     cm = costmap_750(half_width=half_width, size=1500 // 2,
                      use_exact_edt=True)
@@ -426,6 +430,7 @@ def run_thesis_protocol_experiment(
             "horizon": horizon, "max_loops": max_loops,
             "slope_weight": slope_weight, "sigma_base": sigma_base,
             "slope_critic": slope_critic,
+            "terrain_z_scale": terrain_z_scale,
             "terrain": "thesis_statistics_terrain(150m@0.1m, craters 1/5m^2)",
             "protocol": "per-path rescore, collision-abort, drop-5-greatest",
         },
