@@ -320,6 +320,12 @@ def main():
     loop_pallas, sps_pallas = bench_control_loop(hf, cm, cfg(1000, 100, "pallas"))
     # Large batched config (BASELINE config 1): 16k x 64, best engine.
     loop_big, sps_big = bench_control_loop(hf, cm, cfg(16384, 64, "pallas"))
+    # Same batch under the thesis-statistics (body-slope) critic: the fused
+    # kernel skips the two wheel-track selections (half its MXU work)
+    import dataclasses as _dc
+
+    loop_big_body, sps_big_body = bench_control_loop(
+        hf, cm, _dc.replace(cfg(16384, 64, "pallas"), slope_critic="body"))
 
     env_dt, env_steps_per_s = bench_vec_env(hf)
     gs_cfg = cfg(1000, 100, "pallas")
@@ -347,6 +353,8 @@ def main():
             "k1000_h100_vs_ref_3ms": round(3e-3 / best_loop, 2),
             "k16384_h64_pallas_loop_ms": round(loop_big * 1e3, 4),
             "k16384_h64_steps_per_s": round(sps_big, 1),
+            "k16384_h64_body_critic_loop_ms": round(loop_big_body * 1e3, 4),
+            "k16384_h64_body_critic_steps_per_s": round(sps_big_body, 1),
             "vec_env_4096_step_us": round(env_dt * 1e6, 2),
             "vec_env_rover_steps_per_s": round(env_steps_per_s, 1),
             "goal_seek_loop_ms": round(gs_loop_s * 1e3, 4),
