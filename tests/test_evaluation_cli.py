@@ -256,3 +256,44 @@ def test_thesis_protocol_experiment_structure():
         assert a["mean_velocity"] > 0.3
     assert set(entry["critics"]) == {"distance", "speed", "slope",
                                     "obstacle"}
+
+
+def test_eval_r04_artifact_thesis_direction():
+    """EVAL_r04.json (64 runs/arm on chip, thesis protocol) reproduces the
+    thesis's directional claims (work summarise:47-73 / stats_results.py):
+
+    * safety: 3D logs fewer collided runs than 2D at every K and completes
+      at least as many runs at K >= 500 (the '100% collision-free 3D vs
+      ~97% 2D' headline, directionally);
+    * at the flagship K=1000 every critic favors 3D: speed/slope/obstacle
+      trimmed means lower, path length equal within 0.5%;
+    * the mechanism ablation shows the production wheel-slope critic
+      (unusable by the 2D arm) degrading the 3D arm — the asymmetry that
+      produced round-3's flipped episode-total EVAL.json.
+    """
+    from pathlib import Path
+
+    path = Path(__file__).parent.parent / "EVAL_r04.json"
+    t = json.loads(path.read_text())
+    assert t["config"]["runs_per_arm"] >= 64
+    assert t["config"]["max_loops"] == 3500
+    assert t["config"]["slope_critic"] == "body"
+    assert t["config"]["slope_weight"] == 35.5
+    assert "REPRODUCED" in t["notes"]
+
+    for k, d in t["per_k"].items():
+        arms = d["arms"]
+        assert arms["3d"]["collided"] < arms["2d"]["collided"], (k, arms)
+        if int(k) >= 500:
+            assert arms["3d"]["completed"] >= arms["2d"]["completed"], k
+
+    k1000 = t["per_k"]["1000"]["critics"]
+    for critic in ("speed", "slope", "obstacle"):
+        assert k1000[critic]["beaten_by_pct"] > 0, (critic, k1000[critic])
+    assert abs(k1000["distance"]["beaten_by_pct"]) < 0.5
+
+    # ablation: wheel-slope critic handicaps the 3D arm only
+    abl = t["ablation"]["wheels_critic_K500"]
+    assert abl["critics"]["speed"]["beaten_by_pct"] < -30
+    assert abl["arms"]["3d"]["stall_fraction"] > abl["arms"]["2d"][
+        "stall_fraction"]
