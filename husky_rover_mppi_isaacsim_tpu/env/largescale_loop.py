@@ -112,28 +112,28 @@ class LargeScaleRunResult:
     prestage_misses: int = 0
 
 
-@functools.partial(jax.jit, static_argnames=("di_px", "dj_px"))
-def _roll_pass_counts(counts, di_px: int, dj_px: int):
+@jax.jit
+def _roll_pass_counts(counts, di_px, dj_px):
     """Shift the per-pixel deformation pass counts exactly like the window
     roll (streaming.py shift path: ``jnp.roll(window, (-di, -dj))``) and
     zero the newly-exposed band. A jump of a full window or more means the
     streamer took the full-rebuild path — nothing carries over, so the
     counts reset wholesale (mirroring the streamer's small-shift check;
     ADVICE r03: a wrapped roll would leave stale counts on rebuilt
-    terrain)."""
+    terrain). Shift amounts are traced (masked band zeroing) so ONE
+    compiled program serves every shift direction — per-direction eager
+    variants each cost a 15-40 s remote compile at reference scale."""
+    di_px = jnp.asarray(di_px, jnp.int32)
+    dj_px = jnp.asarray(dj_px, jnp.int32)
     n0, n1 = counts.shape
-    if abs(di_px) >= n0 or abs(dj_px) >= n1:
-        return jnp.zeros_like(counts)
     rolled = jnp.roll(counts, (-di_px, -dj_px), (0, 1))
-    if di_px > 0:
-        rolled = rolled.at[n0 - di_px:, :].set(0)
-    elif di_px < 0:
-        rolled = rolled.at[:-di_px, :].set(0)
-    if dj_px > 0:
-        rolled = rolled.at[:, n1 - dj_px:].set(0)
-    elif dj_px < 0:
-        rolled = rolled.at[:, :-dj_px].set(0)
-    return rolled
+    rows = jnp.arange(n0, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n1, dtype=jnp.int32)[None, :]
+    keep_r = jnp.where(di_px >= 0, rows < n0 - di_px, rows >= -di_px)
+    keep_c = jnp.where(dj_px >= 0, cols < n1 - dj_px, cols >= -dj_px)
+    full_jump = (jnp.abs(di_px) >= n0) | (jnp.abs(dj_px) >= n1)
+    keep = keep_r & keep_c & jnp.logical_not(full_jump)
+    return jnp.where(keep, rolled, 0)
 
 
 class LargeScaleClosedLoop:

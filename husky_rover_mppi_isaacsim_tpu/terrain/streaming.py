@@ -20,6 +20,7 @@ on device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -57,6 +58,30 @@ def _window_normal(window: Array, px: Array, py: Array, res) -> Array:
     vz = res * res * jnp.ones_like(vx)
     v = jnp.stack([vx, vy, vz], axis=-1)
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _shift_window(window: Array, shift_px: Array, blocks: Array,
+                  starts: Array) -> Array:
+    """Roll the window by ``shift_px`` (traced) and write the entering
+    blocks at ``starts`` (traced row/col pixel offsets) — ONE compiled
+    program for every shift direction and block position. The previous
+    eager roll + per-position ``dynamic_update_slice`` calls compiled a
+    fresh XLA program per (direction, position) pair, which through the
+    remote-TPU tunnel cost 15-40 s *per shift* (BENCH r04 first
+    measurement: 16.5 s mean shift latency — all compile). ``blocks`` may
+    contain idempotent duplicates (same block + same start) to keep the
+    entering-count static. The window buffer is donated (in-place at
+    reference scale)."""
+
+    window = jnp.roll(window, (-shift_px[0], -shift_px[1]), (0, 1))
+
+    def body(w, args):
+        blk, st = args
+        return jax.lax.dynamic_update_slice(w, blk, (st[0], st[1])), None
+
+    window, _ = jax.lax.scan(body, window, (blocks, starts))
+    return window
 
 
 @dataclasses.dataclass
@@ -469,7 +494,6 @@ class TerrainStreamer:
         else:
             di = new_anchor[0] - old_anchor[0]
             dj = new_anchor[1] - old_anchor[1]
-            win = jnp.roll(self.window, (-di * bpx, -dj * bpx), (0, 1))
             entering = [
                 (i, j)
                 for i in range(side) for j in range(side)
@@ -478,12 +502,23 @@ class TerrainStreamer:
             ]
             self.bulk_build([(new_anchor[0] + i, new_anchor[1] + j)
                              for i, j in entering])
-            for i, j in entering:
-                blk = self.build_block(new_anchor[0] + i, new_anchor[1] + j)
-                win = jax.lax.dynamic_update_slice(
-                    win, blk, (i * bpx, j * bpx)
-                )
-            self.window = win
+            blocks = [self.build_block(new_anchor[0] + i, new_anchor[1] + j)
+                      for i, j in entering]
+            starts = [(i * bpx, j * bpx) for i, j in entering]
+            # pad to a static entering-count (idempotent duplicates of the
+            # last entry) so one compiled _shift_window serves every shift
+            cap = 2 * side  # single-block shifts: side (axis) / 2side-1 (diag)
+            while len(blocks) < cap:
+                blocks.append(blocks[-1])
+                starts.append(starts[-1])
+            if len(blocks) > cap:  # multi-block jump: no padding benefit
+                cap = len(blocks)
+            self.window = _shift_window(
+                self.window,
+                jnp.asarray([di * bpx, dj * bpx], jnp.int32),
+                jnp.stack(blocks[:cap]),
+                jnp.asarray(starts[:cap], jnp.int32),
+            )
             if self.conf.prefetch:
                 self._prefetch(di, dj)
         self.shift_count += 1
