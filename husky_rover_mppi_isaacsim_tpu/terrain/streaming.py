@@ -491,6 +491,18 @@ class TerrainStreamer:
                 ]
                 rows.append(jnp.concatenate(row, axis=1))
             self.window = jnp.concatenate(rows, axis=0)
+            # prewarm the one-and-only shift program during the build (a
+            # zero shift writing the SW block over itself is a no-op):
+            # the first real shift would otherwise stall the control loop
+            # for the remote compile
+            blk0 = self.build_block(*self.anchor)
+            cap = 2 * side
+            self.window = _shift_window(
+                self.window,
+                jnp.zeros((2,), jnp.int32),
+                jnp.stack([blk0] * cap),
+                jnp.zeros((cap, 2), jnp.int32),
+            )
         else:
             di = new_anchor[0] - old_anchor[0]
             dj = new_anchor[1] - old_anchor[1]
