@@ -296,6 +296,7 @@ def bench_largescale(traverse_m: float = 100.0):
             1e3 * float(np.max(shifts)), 1) if shifts else None,
         "prestage_hits": res.prestage_hits,
         "prestage_misses": res.prestage_misses,
+        "shift_phases": loop.shift_phase_log,
         "chunk_steps": conf.terrain_check_every,
         # device-compute rate with no per-chunk host readback; wall rate -
         # this = relay RT + host terrain bookkeeping per chunk

@@ -174,6 +174,7 @@ class LargeScaleClosedLoop:
         self._staged = None          # (center_block_key, rock_keys, costmap)
         self.prestage_hits = 0
         self.prestage_misses = 0
+        self.shift_phase_log: List[dict] = []  # per-shift phase timings
 
     def _make_chunk_fn(self):
         """One jitted program per terrain-check interval: `terrain_check_every`
@@ -415,12 +416,15 @@ class LargeScaleClosedLoop:
         # reusing the pre-staged costmap when its anchor AND rock-region
         # keys match what the synchronous rebuild would use (bit-identical
         # by construction — rock blocks are seed-deterministic)
+        t0 = time.perf_counter()
         self.hf = self._window_heightfield()
         staged = self._staged
         self._staged = None
-        if (staged is not None and staged[0] == (bx, by)
-                and update_pos is not None
-                and staged[1] == self._rock_keys(update_pos)):
+        t1 = time.perf_counter()
+        hit = (staged is not None and staged[0] == (bx, by)
+               and update_pos is not None
+               and staged[1] == self._rock_keys(update_pos))
+        if hit:
             self.costmap = staged[2]
             self.prestage_hits += 1
             if self.conf.verify_prestage:
@@ -432,6 +436,12 @@ class LargeScaleClosedLoop:
         else:
             self.costmap = self._build_costmap()
             self.prestage_misses += 1
+        t2 = time.perf_counter()
+        self.shift_phase_log.append({
+            "hit": bool(hit),
+            "reseat_s": round(t1 - t0, 3),
+            "costmap_s": round(t2 - t1, 3),
+        })
         # rebase controller-frame points by (-dy, +dx) (:569-575)
         sx = jnp.asarray(shift_x, jnp.float32)
         sy = jnp.asarray(shift_y, jnp.float32)
@@ -562,8 +572,18 @@ class LargeScaleClosedLoop:
                         int(round(shift[0] / res)),
                         int(round(shift[1] / res)),
                     )
+                t_bw = time.perf_counter()
                 jax.block_until_ready(window)
+                t_bc = time.perf_counter()
                 jax.block_until_ready(self.costmap.cost)
+                t_end = time.perf_counter()
+                self.shift_phase_log[-1].update(
+                    rebase_s=round(t_bw - t_shift
+                                   - self.shift_phase_log[-1]["reseat_s"]
+                                   - self.shift_phase_log[-1]["costmap_s"], 3),
+                    wait_window_s=round(t_bc - t_bw, 3),
+                    wait_costmap_s=round(t_end - t_bc, 3),
+                )
                 shift_latencies.append(time.perf_counter() - t_shift)
                 costmap_rebuilds += 1
                 block_shifts += 1
