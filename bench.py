@@ -297,6 +297,8 @@ def bench_largescale(traverse_m: float = 100.0):
         "prestage_hits": res.prestage_hits,
         "prestage_misses": res.prestage_misses,
         "shift_phases": loop.shift_phase_log,
+        "host_phase_totals_s": {k: round(v, 1)
+                                for k, v in loop.chunk_phase_acc.items()},
         "chunk_steps": conf.terrain_check_every,
         # device-compute rate with no per-chunk host readback; wall rate -
         # this = relay RT + host terrain bookkeeping per chunk

@@ -519,10 +519,15 @@ class LargeScaleClosedLoop:
         steady_after = 240  # sim steps of warmup before steady-state timing
         t_steady = None
         steps_at_steady = 0
+        # per-chunk host-side phase accumulators (rate decomposition)
+        acc = {"dispatch_s": 0.0, "fetch_s": 0.0, "terrain_s": 0.0,
+               "prestage_s": 0.0, "shift_s": 0.0}
+        self.chunk_phase_acc = acc
         while steps < conf.max_steps:
             if t_steady is None and steps >= steady_after:
                 t_steady = time.perf_counter()
                 steps_at_steady = steps
+            t_a = time.perf_counter()
             frame_ox = jnp.asarray(float(self.block_x) + self.half_block,
                                    jnp.float32)
             frame_oy = jnp.asarray(float(self.block_y) + self.half_block,
@@ -538,9 +543,13 @@ class LargeScaleClosedLoop:
             )
             steps += conf.terrain_check_every
             chunk_idx += 1
+            t_b = time.perf_counter()
             # the single host<->device round-trip of the interval
             wx, wy, hx, hy, reached_f = map(float, jax.device_get(
                 (wx_d, wy_d, hx_d, hy_d, reached_d)))
+            t_c = time.perf_counter()
+            acc["dispatch_s"] += t_b - t_a
+            acc["fetch_s"] += t_c - t_b
             streamer.window = window  # live (possibly deformed) heights
             if record_path:
                 path.append((wx, wy))
@@ -552,6 +561,7 @@ class LargeScaleClosedLoop:
             local = (wx - conf.terrain.starting_position[0],
                      wy - conf.terrain.starting_position[1])
             updated, corrected = self.lstm.update_visual_mesh(local)
+            acc["terrain_s"] += time.perf_counter() - t_c
 
             bx, by = self.lstm.get_hr_map_current_block_coordinates()
             if (bx, by) != (self.block_x, self.block_y):
@@ -585,10 +595,13 @@ class LargeScaleClosedLoop:
                     wait_costmap_s=round(t_end - t_bc, 3),
                 )
                 shift_latencies.append(time.perf_counter() - t_shift)
+                acc["shift_s"] += time.perf_counter() - t_shift
                 costmap_rebuilds += 1
                 block_shifts += 1
             elif conf.prestage_shifts:
+                t_p = time.perf_counter()
                 self._maybe_prestage(wx, wy, hx, hy)
+                acc["prestage_s"] += time.perf_counter() - t_p
 
         wall = time.perf_counter() - t0
         streamer.window = window
