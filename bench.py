@@ -296,6 +296,8 @@ def bench_largescale(traverse_m: float = 100.0):
             1e3 * float(np.max(shifts)), 1) if shifts else None,
         "prestage_hits": res.prestage_hits,
         "prestage_misses": res.prestage_misses,
+        "staged_window_swaps":
+            loop.lstm.map_manager.streamer.staged_shift_hits,
         "shift_phases": loop.shift_phase_log,
         "host_phase_totals_s": {k: round(v, 1)
                                 for k, v in loop.chunk_phase_acc.items()},

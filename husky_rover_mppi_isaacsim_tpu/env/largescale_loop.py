@@ -195,8 +195,8 @@ class LargeScaleClosedLoop:
         track = float(loop_conf.rover.track)
         wb = float(self.conf.wheelbase)
 
-        def chunk(window, counts, cm, goal_ctrl, state, base_key, idx,
-                  frame_ox, frame_oy, goal_world, win_ox, win_oy):
+        def scan_and_pose(window, cm, goal_ctrl, state, base_key, idx,
+                          frame_ox, frame_oy):
             hf = HeightField.create(window, window_half)
             k = jax.random.fold_in(base_key, idx)
             keys = jax.random.split(k, n)
@@ -209,42 +209,62 @@ class LargeScaleClosedLoop:
                 )
 
             state, _ = jax.lax.scan(body, state, keys)
-
             pos = state.rovers.position[0]
             h = state.rovers.heading[0]
             # rotated block frame -> world (frames.controller_to_world)
             wx = -pos[1] + frame_ox
             wy = pos[0] + frame_oy
             hx, hy = -h[1], h[0]
+            return hf, state, wx, wy, hx, hy
 
-            if engine is not None:
-                # wheel-track deformation from measured per-wheel loads
-                # (simulation_manager_ros2.py:231-233 semantics, once per
-                # chunk) — fully on device, no host round-trip
-                from . import rover_sim
-
-                loads = rover_sim.wheel_contact_forces(
-                    loop_conf.rover, hf, state.rovers, wheelbase=wb)
-                yaw = jnp.arctan2(hy, hx)
-                fwd = jnp.stack([hx, hy])
-                left = jnp.stack([-hy, hx])
-                body_w = jnp.stack([wx, wy])
-                positions = jnp.stack([
-                    body_w + fwd * wb / 2 + left * track / 2,
-                    body_w + fwd * wb / 2 - left * track / 2,
-                    body_w - fwd * wb / 2 + left * track / 2,
-                    body_w - fwd * wb / 2 - left * track / 2,
-                ])
-                window, counts = engine.deform_window(
-                    window, counts, res, (win_ox, win_oy), positions,
-                    jnp.full((4,), yaw), loads[0],
-                )
-
-            reached = jnp.logical_and(
+        def reached_flag(wx, wy, goal_world):
+            return jnp.logical_and(
                 jnp.abs(wx - goal_world[0]) < tol,
                 jnp.abs(wy - goal_world[1]) < tol,
             )
-            return window, counts, state, wx, wy, hx, hy, reached
+
+        if engine is None:
+            # no deformation: the window is read-only — no donation, so
+            # its array identity stays stable between shifts (which lets
+            # the streamer's identity-keyed shift pre-staging hold)
+            def chunk(window, cm, goal_ctrl, state, base_key, idx,
+                      frame_ox, frame_oy, goal_world):
+                _, state, wx, wy, hx, hy = scan_and_pose(
+                    window, cm, goal_ctrl, state, base_key, idx,
+                    frame_ox, frame_oy)
+                return state, wx, wy, hx, hy, reached_flag(wx, wy,
+                                                           goal_world)
+
+            return jax.jit(chunk)
+
+        def chunk(window, counts, cm, goal_ctrl, state, base_key, idx,
+                  frame_ox, frame_oy, goal_world, win_ox, win_oy):
+            hf, state, wx, wy, hx, hy = scan_and_pose(
+                window, cm, goal_ctrl, state, base_key, idx,
+                frame_ox, frame_oy)
+            # wheel-track deformation from measured per-wheel loads
+            # (simulation_manager_ros2.py:231-233 semantics, once per
+            # chunk) — fully on device, no host round-trip
+            from . import rover_sim
+
+            loads = rover_sim.wheel_contact_forces(
+                loop_conf.rover, hf, state.rovers, wheelbase=wb)
+            yaw = jnp.arctan2(hy, hx)
+            fwd = jnp.stack([hx, hy])
+            left = jnp.stack([-hy, hx])
+            body_w = jnp.stack([wx, wy])
+            positions = jnp.stack([
+                body_w + fwd * wb / 2 + left * track / 2,
+                body_w + fwd * wb / 2 - left * track / 2,
+                body_w - fwd * wb / 2 + left * track / 2,
+                body_w - fwd * wb / 2 - left * track / 2,
+            ])
+            window, counts = engine.deform_window(
+                window, counts, res, (win_ox, win_oy), positions,
+                jnp.full((4,), yaw), loads[0],
+            )
+            return (window, counts, state, wx, wy, hx, hy,
+                    reached_flag(wx, wy, goal_world))
 
         return jax.jit(chunk, donate_argnums=(0, 1))
 
@@ -375,23 +395,17 @@ class LargeScaleClosedLoop:
         if pred_blk == cur_blk:
             return
         key = (pred_blk[0] * bs, pred_blk[1] * bs)  # center-block SW corner
-        if self._staged is not None and self._staged[0] == key:
-            return
-        # warm the entering block band of the predicted window (async
-        # device dispatch; build_block caches)
         di = pred_blk[0] - cur_blk[0]
         dj = pred_blk[1] - cur_blk[1]
-        side = streamer.conf.blocks_per_side
         a = streamer.anchor
         new_anchor = (a[0] + di, a[1] + dj)
-        if di:
-            row = new_anchor[0] + (side - 1 if di > 0 else 0)
-            for j in range(side):
-                streamer.build_block(row, new_anchor[1] + j)
-        if dj:
-            col = new_anchor[1] + (side - 1 if dj > 0 else 0)
-            for i in range(side):
-                streamer.build_block(new_anchor[0] + i, col)
+        # stage the SHIFTED WINDOW itself inside the streamer (identity-
+        # keyed; deformation stamps invalidate it automatically): the roll
+        # + entering-block writes execute on device now, so the crossing
+        # only swaps arrays
+        streamer.prestage_shift(new_anchor)
+        if self._staged is not None and self._staged[0] == key:
+            return
         # stage the costmap for the predicted window (EDT dispatches async)
         qpos = self._quantized_update_pos(px, py)
         rock_keys = self._rock_keys(qpos)
@@ -476,18 +490,28 @@ class LargeScaleClosedLoop:
                                jnp.float32)
         wox, woy = streamer.window_origin()
         goal_w_dev = jnp.asarray(conf.goal, jnp.float32)
-        args = lambda i: (self.costmap, goal_ctrl, state, key, np.int32(i),
-                          frame_ox, frame_oy, goal_w_dev,
-                          jnp.asarray(wox, jnp.float32),
-                          jnp.asarray(woy, jnp.float32))
+        if self.deform_engine is not None:
+            def call(i, state):
+                nonlocal window, counts
+                window, counts, state, *outs = self._chunk_fn(
+                    window, counts, self.costmap, goal_ctrl, state, key,
+                    np.int32(i), frame_ox, frame_oy, goal_w_dev,
+                    jnp.asarray(wox, jnp.float32),
+                    jnp.asarray(woy, jnp.float32))
+                return state, outs
+        else:
+            def call(i, state):
+                state, *outs = self._chunk_fn(
+                    window, self.costmap, goal_ctrl, state, key,
+                    np.int32(i), frame_ox, frame_oy, goal_w_dev)
+                return state, outs
+
         # warm (compile already cached from run())
-        window, counts, state, *outs = self._chunk_fn(window, counts,
-                                                      *args(0))
+        state, outs = call(0, state)
         jax.block_until_ready(outs[-1])
         t0 = time.perf_counter()
         for i in range(1, chunks + 1):
-            window, counts, state, *outs = self._chunk_fn(window, counts,
-                                                          *args(i))
+            state, outs = call(i, state)
         jax.block_until_ready(outs[-1])
         dt = time.perf_counter() - t0
         streamer.window = window
@@ -532,15 +556,22 @@ class LargeScaleClosedLoop:
                                    jnp.float32)
             frame_oy = jnp.asarray(float(self.block_y) + self.half_block,
                                    jnp.float32)
-            wox, woy = streamer.window_origin()
-            window, counts, state, wx_d, wy_d, hx_d, hy_d, reached_d = (
-                self._chunk_fn(
-                    window, counts, self.costmap, goal_ctrl, state, key,
-                    np.int32(chunk_idx), frame_ox, frame_oy, goal_w_dev,
-                    jnp.asarray(wox, jnp.float32),
-                    jnp.asarray(woy, jnp.float32),
+            if self.deform_engine is not None:
+                wox, woy = streamer.window_origin()
+                window, counts, state, wx_d, wy_d, hx_d, hy_d, reached_d = (
+                    self._chunk_fn(
+                        window, counts, self.costmap, goal_ctrl, state, key,
+                        np.int32(chunk_idx), frame_ox, frame_oy, goal_w_dev,
+                        jnp.asarray(wox, jnp.float32),
+                        jnp.asarray(woy, jnp.float32),
+                    )
                 )
-            )
+                streamer.window = window  # live deformed heights
+            else:
+                state, wx_d, wy_d, hx_d, hy_d, reached_d = self._chunk_fn(
+                    window, self.costmap, goal_ctrl, state, key,
+                    np.int32(chunk_idx), frame_ox, frame_oy, goal_w_dev,
+                )
             steps += conf.terrain_check_every
             chunk_idx += 1
             t_b = time.perf_counter()
@@ -550,7 +581,6 @@ class LargeScaleClosedLoop:
             t_c = time.perf_counter()
             acc["dispatch_s"] += t_b - t_a
             acc["fetch_s"] += t_c - t_b
-            streamer.window = window  # live (possibly deformed) heights
             if record_path:
                 path.append((wx, wy))
             if reached_f:

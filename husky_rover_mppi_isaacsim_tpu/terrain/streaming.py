@@ -84,6 +84,21 @@ def _shift_window(window: Array, shift_px: Array, blocks: Array,
     return window
 
 
+@jax.jit
+def _shift_window_keep(window: Array, shift_px: Array, blocks: Array,
+                       starts: Array) -> Array:
+    """Non-donating :func:`_shift_window` — used by shift pre-staging,
+    which must keep the source window alive until the crossing commits."""
+    window = jnp.roll(window, (-shift_px[0], -shift_px[1]), (0, 1))
+
+    def body(w, args):
+        blk, st = args
+        return jax.lax.dynamic_update_slice(w, blk, (st[0], st[1])), None
+
+    window, _ = jax.lax.scan(body, window, (blocks, starts))
+    return window
+
+
 @dataclasses.dataclass
 class StreamerConf:
     """Window geometry (HighResDEMConf semantics,
@@ -171,6 +186,9 @@ class TerrainStreamer:
         self.anchor: Tuple[int, int] | None = None  # SW block index of window
         self.window: Array | None = None
         self.shift_count = 0
+        # (new_anchor, shifted_window, id(source_window)) — see prestage_shift
+        self._staged_shift: tuple | None = None
+        self.staged_shift_hits = 0
 
     # --- coordinates --------------------------------------------------------
 
@@ -506,35 +524,80 @@ class TerrainStreamer:
         else:
             di = new_anchor[0] - old_anchor[0]
             dj = new_anchor[1] - old_anchor[1]
-            entering = [
-                (i, j)
-                for i in range(side) for j in range(side)
-                if not (0 <= new_anchor[0] + i - old_anchor[0] < side
-                        and 0 <= new_anchor[1] + j - old_anchor[1] < side)
-            ]
-            self.bulk_build([(new_anchor[0] + i, new_anchor[1] + j)
-                             for i, j in entering])
-            blocks = [self.build_block(new_anchor[0] + i, new_anchor[1] + j)
-                      for i, j in entering]
-            starts = [(i * bpx, j * bpx) for i, j in entering]
-            # pad to a static entering-count (idempotent duplicates of the
-            # last entry) so one compiled _shift_window serves every shift
-            cap = 2 * side  # single-block shifts: side (axis) / 2side-1 (diag)
-            while len(blocks) < cap:
-                blocks.append(blocks[-1])
-                starts.append(starts[-1])
-            if len(blocks) > cap:  # multi-block jump: no padding benefit
-                cap = len(blocks)
-            self.window = _shift_window(
-                self.window,
-                jnp.asarray([di * bpx, dj * bpx], jnp.int32),
-                jnp.stack(blocks[:cap]),
-                jnp.asarray(starts[:cap], jnp.int32),
-            )
+            staged = self._staged_shift
+            self._staged_shift = None
+            if (staged is not None and staged[0] == new_anchor
+                    and staged[2] == id(self.window)):
+                # pre-staged shifted window (prestage_shift): swap — the
+                # shift already executed on device while the control loop
+                # kept running
+                self.window = staged[1]
+                self.staged_shift_hits += 1
+            else:
+                self.window = self._compose_shift(
+                    old_anchor, new_anchor, donate=True)
             if self.conf.prefetch:
                 self._prefetch(di, dj)
         self.shift_count += 1
         return True
+
+    def _compose_shift(self, old_anchor, new_anchor, donate: bool) -> Array:
+        """Shifted window for ``old_anchor -> new_anchor``: build the
+        entering blocks, then one compiled roll+write program
+        (:func:`_shift_window`). ``donate=False`` keeps the source window
+        alive (pre-staging path)."""
+        side = self.conf.blocks_per_side
+        bpx = self.conf.block_px
+        di = new_anchor[0] - old_anchor[0]
+        dj = new_anchor[1] - old_anchor[1]
+        entering = [
+            (i, j)
+            for i in range(side) for j in range(side)
+            if not (0 <= new_anchor[0] + i - old_anchor[0] < side
+                    and 0 <= new_anchor[1] + j - old_anchor[1] < side)
+        ]
+        self.bulk_build([(new_anchor[0] + i, new_anchor[1] + j)
+                         for i, j in entering])
+        blocks = [self.build_block(new_anchor[0] + i, new_anchor[1] + j)
+                  for i, j in entering]
+        starts = [(i * bpx, j * bpx) for i, j in entering]
+        # pad to a static entering-count (idempotent duplicates of the
+        # last entry) so one compiled _shift_window serves every shift
+        cap = 2 * side  # single-block shifts: side (axis) / 2side-1 (diag)
+        while len(blocks) < cap:
+            blocks.append(blocks[-1])
+            starts.append(starts[-1])
+        if len(blocks) > cap:  # multi-block jump: no padding benefit
+            cap = len(blocks)
+        fn = _shift_window if donate else _shift_window_keep
+        return fn(
+            self.window,
+            jnp.asarray([di * bpx, dj * bpx], jnp.int32),
+            jnp.stack(blocks[:cap]),
+            jnp.asarray(starts[:cap], jnp.int32),
+        )
+
+    def prestage_shift(self, new_anchor: Tuple[int, int]) -> None:
+        """Speculatively compute the shifted window for an anticipated
+        anchor: the roll + entering-block writes execute on device NOW
+        (overlapped with whatever the control loop is doing) so the actual
+        crossing in :meth:`update` only swaps arrays. The stage is keyed on
+        the identity of the source window — any mutation (deformation
+        stamps replace ``self.window``) invalidates it automatically."""
+        if self.window is None or self.anchor is None:
+            return
+        if new_anchor == self.anchor:
+            return
+        side = self.conf.blocks_per_side
+        if (abs(new_anchor[0] - self.anchor[0]) >= side
+                or abs(new_anchor[1] - self.anchor[1]) >= side):
+            return  # full rebuild path — nothing to stage
+        if (self._staged_shift is not None
+                and self._staged_shift[0] == new_anchor
+                and self._staged_shift[2] == id(self.window)):
+            return
+        win = self._compose_shift(self.anchor, new_anchor, donate=False)
+        self._staged_shift = (new_anchor, win, id(self.window))
 
     def _prefetch(self, di: int, dj: int) -> None:
         """Speculatively build (and cache) the band of blocks one step
