@@ -116,25 +116,42 @@ class ColliderManager:
                     keys.append((bx, by))
         return keys
 
-    def _build_block(self, key: BlockKey) -> ColliderMesh:
+    def _block_query(self, key: BlockKey):
+        """Dispatch (not fetch) the height query for one block."""
         bs = self.conf.block_size
         n = self.conf.cells
         origin = (key[0] * bs, key[1] * bs)
         xs = origin[0] + np.arange(n + 1) * self.conf.resolution
         ys = origin[1] + np.arange(n + 1) * self.conf.resolution
         xx, yy = np.meshgrid(xs, ys, indexing="ij")
-        z = np.asarray(
-            self.provider.get_height(xx.ravel(), yy.ravel()), np.float32
-        ).reshape(n + 1, n + 1)
+        return origin, self.provider.get_height(xx.ravel(), yy.ravel())
+
+    def _build_block(self, key: BlockKey) -> ColliderMesh:
+        n = self.conf.cells
+        origin, z_dev = self._block_query(key)
+        z = np.asarray(z_dev, np.float32).reshape(n + 1, n + 1)
         return self.builder.build(z, origin)
 
     def update(self, position) -> Tuple[int, int]:
-        """Build/evict around ``position``; returns (built, dropped)."""
+        """Build/evict around ``position``; returns (built, dropped).
+
+        All missing blocks' height queries dispatch asynchronously and
+        fetch in ONE ``jax.device_get`` — one relay round-trip per update
+        instead of one per block (BENCH r04 terrain-cascade
+        decomposition)."""
+        import jax
+
         built = dropped = 0
         pos = (float(position[0]), float(position[1]))
-        for key in self._needed_blocks(pos):
-            if key not in self.meshes:
-                self.meshes[key] = self._build_block(key)
+        missing = [k for k in self._needed_blocks(pos)
+                   if k not in self.meshes]
+        if missing:
+            queries = [self._block_query(k) for k in missing]
+            zs = jax.device_get([q[1] for q in queries])
+            n = self.conf.cells
+            for key, (origin, _), z in zip(missing, queries, zs):
+                self.meshes[key] = self.builder.build(
+                    np.asarray(z, np.float32).reshape(n + 1, n + 1), origin)
                 built += 1
         # drop far blocks
         for key in list(self.meshes):

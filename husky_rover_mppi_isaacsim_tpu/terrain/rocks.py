@@ -230,9 +230,10 @@ class RockSampler:
             (self.conf.seed, 0x52C3, bx & 0xFFFFFFFF, by & 0xFFFFFFFF)
         )
 
-    def sample_block(self, bx: int, by: int) -> RockBlock:
-        if (bx, by) in self.db:
-            return self.db.get((bx, by))
+    def _prepare_block(self, bx: int, by: int):
+        """Host metadata + *dispatched* (not fetched) surface query for one
+        block — identical RNG keys and shape buckets to the synchronous
+        path, so batched and one-at-a-time sampling are bit-identical."""
         rng = self._block_rng(bx, by)
         xy = sample_block_positions(rng, self.conf, bx, by)
         n = xy.shape[0]
@@ -244,21 +245,50 @@ class RockSampler:
             jax.random.fold_in(jax.random.key(self.conf.seed), bx & 0xFFFF),
             by & 0xFFFF,
         )
-        if n:
-            h, quat = self._query_surface(xy, sub)
-            h, quat = np.asarray(h), np.asarray(quat)
-        else:
-            h = np.zeros((0,))
-            quat = np.zeros((0, 4))
+        hq = self._query_surface(xy, sub) if n else None
+        return (bx, by), xy, scale_xyz, ids, hq
+
+    def _finalize_block(self, key, xy, scale_xyz, ids, h, quat) -> RockBlock:
         block = RockBlock(
             coordinates=xy.astype(np.float32),
-            height=h.astype(np.float32),
-            quaternion=quat.astype(np.float32),
+            height=np.asarray(h).astype(np.float32),
+            quaternion=np.asarray(quat).astype(np.float32),
             scale=scale_xyz.astype(np.float32),
             ids=ids,
         )
-        self.db.add((bx, by), block)
+        self.db.add(key, block)
         return block
+
+    def sample_block(self, bx: int, by: int) -> RockBlock:
+        if (bx, by) in self.db:
+            return self.db.get((bx, by))
+        key, xy, scale_xyz, ids, hq = self._prepare_block(bx, by)
+        if hq is None:
+            h, quat = np.zeros((0,)), np.zeros((0, 4))
+        else:
+            h, quat = jax.device_get(hq)
+        return self._finalize_block(key, xy, scale_xyz, ids, h, quat)
+
+    def sample_blocks(self, keys) -> None:
+        """Sample many missing blocks with ONE host<->device round-trip:
+        every block's surface query is dispatched asynchronously (same
+        per-block RNG keys/buckets as :meth:`sample_block`), then all
+        results fetch in a single ``jax.device_get``. Through the
+        high-latency TPU relay this replaces 2N fetches with 1
+        (the per-update terrain cascade was relay-RT-bound, BENCH r04
+        decomposition)."""
+        missing = [k for k in keys if k not in self.db]
+        if not missing:
+            return
+        prepared = [self._prepare_block(bx, by) for bx, by in missing]
+        fetched = jax.device_get([p[4] for p in prepared if p[4] is not None])
+        it = iter(fetched)
+        for key, xy, scale_xyz, ids, hq in prepared:
+            if hq is None:
+                h, quat = np.zeros((0,)), np.zeros((0, 4))
+            else:
+                h, quat = next(it)
+            self._finalize_block(key, xy, scale_xyz, ids, h, quat)
 
     def sample_region(self, position, block_span: int = 1):
         """Sample the (2*span+1)^2 blocks around a position; returns the
@@ -267,10 +297,12 @@ class RockSampler:
         bs = self.conf.block_size
         bx = int(np.floor(position[0] / bs))
         by = int(np.floor(position[1] / bs))
+        span = range(-block_span, block_span + 1)
+        self.sample_blocks([(bx + dx, by + dy) for dx in span for dy in span])
         blocks = [
             self.sample_block(bx + dx, by + dy)
-            for dx in range(-block_span, block_span + 1)
-            for dy in range(-block_span, block_span + 1)
+            for dx in span
+            for dy in span
         ]
         return RockBlock(
             coordinates=np.concatenate([b.coordinates for b in blocks]),
