@@ -612,18 +612,20 @@ class LargeScaleClosedLoop:
                         int(round(shift[0] / res)),
                         int(round(shift[1] / res)),
                     )
-                t_bw = time.perf_counter()
-                jax.block_until_ready(window)
-                t_bc = time.perf_counter()
-                jax.block_until_ready(self.costmap.cost)
-                t_end = time.perf_counter()
-                self.shift_phase_log[-1].update(
-                    rebase_s=round(t_bw - t_shift
-                                   - self.shift_phase_log[-1]["reseat_s"]
-                                   - self.shift_phase_log[-1]["costmap_s"], 3),
-                    wait_window_s=round(t_bc - t_bw, 3),
-                    wait_costmap_s=round(t_end - t_bc, 3),
-                )
+                # NO block_until_ready here: with pre-staged windows and
+                # costmaps the shift is a pointer swap and the loop never
+                # waits — the next chunk queues behind any residual device
+                # work, whose cost lands honestly in that chunk's fetch
+                # time. (Explicit ready-waits at this point also tripped a
+                # pathological fixed ~41 s stall in the TPU relay's ready
+                # RPC — see BENCH r04 shift_phases forensics: the staged
+                # window was computed minutes earlier, no XLA compiles ran,
+                # the stall survived GC-off, and a shift-only probe without
+                # interleaved chunks returned instantly.)
+                self.shift_phase_log[-1]["rebase_s"] = round(
+                    time.perf_counter() - t_shift
+                    - self.shift_phase_log[-1]["reseat_s"]
+                    - self.shift_phase_log[-1]["costmap_s"], 3)
                 shift_latencies.append(time.perf_counter() - t_shift)
                 acc["shift_s"] += time.perf_counter() - t_shift
                 costmap_rebuilds += 1
