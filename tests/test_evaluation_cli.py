@@ -297,3 +297,10 @@ def test_eval_r04_artifact_thesis_direction():
     assert abl["critics"]["speed"]["beaten_by_pct"] < -30
     assert abl["arms"]["3d"]["stall_fraction"] > abl["arms"]["2d"][
         "stall_fraction"]
+    # roughness ablation: on gentler terrain the low-K residual vanishes —
+    # 3D collision-free with the speed critic decisively in its favor
+    smooth = t["ablation"]["smooth_terrain_K350"]
+    assert smooth["arms"]["3d"]["collided"] == 0
+    assert smooth["arms"]["3d"]["completed"] == 16
+    assert smooth["critics"]["speed"]["beaten_by_pct"] > 50
+
