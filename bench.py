@@ -301,6 +301,9 @@ def bench_largescale(traverse_m: float = 100.0):
         "shift_phases": loop.shift_phase_log,
         "host_phase_totals_s": {k: round(v, 1)
                                 for k, v in loop.chunk_phase_acc.items()},
+        "cascade_phase_totals_s": {
+            k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in loop.lstm.cascade_phase_acc.items()},
         "chunk_steps": conf.terrain_check_every,
         # device-compute rate with no per-chunk host readback; wall rate -
         # this = relay RT + host terrain bookkeeping per chunk

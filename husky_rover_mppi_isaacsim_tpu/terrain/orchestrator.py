@@ -139,6 +139,10 @@ class LargeScaleTerrainManager:
         self.close_simulation = close_simulation
         self.last_update_coordinates: Optional[Tuple[float, float]] = None
         self.rocks_data: List[np.ndarray] = []
+        # cascade sub-phase accumulators (relay-RT forensics, BENCH detail)
+        self.cascade_phase_acc = {"streamer_s": 0.0, "clipmap_s": 0.0,
+                                  "rocks_s": 0.0, "collider_s": 0.0,
+                                  "updates": 0}
         self.map_manager: Optional[MapManager] = None
         self.nested_clipmap: Optional[NestedClipmap] = None
         self.collider_manager: Optional[ColliderManager] = None
@@ -247,9 +251,15 @@ class LargeScaleTerrainManager:
         self.last_update_coordinates = tuple(local_coordinates)
         global_corrected = self._to_global(corrected)
         streamer = self.map_manager.streamer
+        import time as _time
+
+        acc = self.cascade_phase_acc
+        acc["updates"] += 1
+        t0 = _time.perf_counter()
 
         # 1. HR-DEM shift (blocking in the reference; async device work here)
         shifted = self.map_manager.update(global_corrected)
+        t1 = _time.perf_counter()
 
         # 2. clipmap DEM re-upload on shift + per-update clipmap sampling
         if shifted:
@@ -257,6 +267,7 @@ class LargeScaleTerrainManager:
                 streamer.window, streamer.window_origin()
             )
         self.nested_clipmap.sample(global_corrected)
+        t2 = _time.perf_counter()
 
         # 3. rocks: rebuild rocks_data for the span around the rover
         #    (rocks_data is reset every update, :247-249)
@@ -266,10 +277,16 @@ class LargeScaleTerrainManager:
                                           block_span=s.rock_block_span)
             self.rocks_data.append(block.coordinates)
             self.rocks_data.append(block.scale)
+        t3 = _time.perf_counter()
 
         # 4. collider window shift (:250)
         if self.collider_manager is not None:
             self.collider_manager.update(global_corrected)
+        t4 = _time.perf_counter()
+        acc["streamer_s"] += t1 - t0
+        acc["clipmap_s"] += t2 - t1
+        acc["rocks_s"] += t3 - t2
+        acc["collider_s"] += t4 - t3
         return True, corrected
 
     def extract_rocks_data(self, min_radius: float = 0.0) -> np.ndarray:
