@@ -87,6 +87,14 @@ class LargeScaleConf:
         default_factory=_default_rock_cfgs)
     rock_block_span: int = 2
     profiling: bool = False
+    # Defer collider-mesh builds to export time (ensure_colliders). The
+    # reference must build them eagerly every update because PhysX consumes
+    # them each tick; here the rover rides the heightfield directly and the
+    # collider window is an export surface (collider.py module docstring) —
+    # eager builds only buy ~2-5 height-query round-trips per 2 m through
+    # the TPU relay (BENCH r04 cascade decomposition: the dominant cascade
+    # cost). False restores the reference's eager cadence.
+    collider_lazy: bool = True
 
     def __post_init__(self) -> None:
         assert self.update_every_n_meters > 0
@@ -279,15 +287,27 @@ class LargeScaleTerrainManager:
             self.rocks_data.append(block.scale)
         t3 = _time.perf_counter()
 
-        # 4. collider window shift (:250)
+        # 4. collider window shift (:250) — deferred to export time when
+        #    collider_lazy (no PhysX consumer in this design)
         if self.collider_manager is not None:
-            self.collider_manager.update(global_corrected)
+            self._collider_position = global_corrected
+            if not s.collider_lazy:
+                self.collider_manager.update(global_corrected)
         t4 = _time.perf_counter()
         acc["streamer_s"] += t1 - t0
         acc["clipmap_s"] += t2 - t1
         acc["rocks_s"] += t3 - t2
         acc["collider_s"] += t4 - t3
         return True, corrected
+
+    def ensure_colliders(self):
+        """Bring the collider window up to date with the last cascade
+        position (the deferred half of ``collider_lazy``) — call before
+        exporting meshes. Returns the collider manager."""
+        pos = getattr(self, "_collider_position", None)
+        if self.collider_manager is not None and pos is not None:
+            self.collider_manager.update(pos)
+        return self.collider_manager
 
     def extract_rocks_data(self, min_radius: float = 0.0) -> np.ndarray:
         """``rocks_data`` -> MPPI obstacle list [x, y, radius]

@@ -32,6 +32,7 @@ def tiny_conf(**kw):
                          seed=67),
         ),
         rock_block_span=1,
+        collider_lazy=False,  # reference-parity eager cadence under test
     )
     defaults.update(kw)
     return LargeScaleConf(**defaults)
@@ -135,3 +136,15 @@ def test_current_block_coordinates(lstm):
     n = streamer.conf.num_blocks + 1
     assert bx == (streamer.anchor[0] + n) * bs
     assert by == (streamer.anchor[1] + n) * bs
+
+
+def test_collider_lazy_defers_builds_to_export():
+    """collider_lazy (the TPU-design default): the cascade skips collider
+    mesh builds (no PhysX consumer; they cost height-query round-trips per
+    2 m) and ensure_colliders() brings the window up to date on demand."""
+    mgr = LargeScaleTerrainManager(tiny_conf(collider_lazy=True))
+    mgr.build()
+    assert mgr.collider_manager is not None
+    assert not mgr.collider_manager.meshes  # nothing built eagerly
+    cm = mgr.ensure_colliders()
+    assert cm is mgr.collider_manager and cm.meshes  # built at export time
