@@ -263,6 +263,11 @@ def bench_largescale(traverse_m: float = 100.0):
         start=(0.0, 0.0),
         goal=(traverse_m, 8.0),
         max_steps=40000,
+        # Terrain decisions quantize at the 2 m travel gate and the goal
+        # stop box is checked every sim step on device (in-scan masked
+        # freeze), so 48-step chunks (~1.6 m at 2 m/s) lose nothing while
+        # paying 1/4 the relay round-trips of the 12-step default.
+        terrain_check_every=48,
     )
     t_build = time.perf_counter()
     loop = LargeScaleClosedLoop(conf)

@@ -197,49 +197,57 @@ class LargeScaleClosedLoop:
 
         def scan_and_pose(window, cm, goal_ctrl, state, base_key, idx,
                           frame_ox, frame_oy):
+            """``terrain_check_every`` masked closed-loop steps: once the
+            rover enters the goal stop box (checked EVERY sim step, in the
+            rotated frame — the box is axis-swapped but identical) the
+            state freezes, so long chunks cannot overshoot through the box
+            between host polls (MPPI_OO_current.py:670 stop semantics —
+            the same masked-freeze trick as controller.goal_seek)."""
             hf = HeightField.create(window, window_half)
             k = jax.random.fold_in(base_key, idx)
             keys = jax.random.split(k, n)
 
-            def body(carry, kk):
-                return (
-                    closed_loop.closed_loop_step(loop_conf, hf, cm, goal_ctrl,
-                                                 carry, kk),
-                    None,
+            def in_box(st):
+                pos = st.rovers.position[0]
+                return jnp.logical_and(
+                    jnp.abs(pos[0] - goal_ctrl[0, 0]) < tol,
+                    jnp.abs(pos[1] - goal_ctrl[0, 1]) < tol,
                 )
 
-            state, _ = jax.lax.scan(body, state, keys)
+            def body(carry, kk):
+                st, done = carry
+                new = closed_loop.closed_loop_step(loop_conf, hf, cm,
+                                                   goal_ctrl, st, kk)
+                st = jax.tree.map(
+                    lambda a, b: jnp.where(done, b, a), new, st)
+                return (st, jnp.logical_or(done, in_box(st))), None
+
+            (state, done), _ = jax.lax.scan(body, (state, in_box(state)),
+                                            keys)
             pos = state.rovers.position[0]
             h = state.rovers.heading[0]
             # rotated block frame -> world (frames.controller_to_world)
             wx = -pos[1] + frame_ox
             wy = pos[0] + frame_oy
             hx, hy = -h[1], h[0]
-            return hf, state, wx, wy, hx, hy
-
-        def reached_flag(wx, wy, goal_world):
-            return jnp.logical_and(
-                jnp.abs(wx - goal_world[0]) < tol,
-                jnp.abs(wy - goal_world[1]) < tol,
-            )
+            return hf, state, wx, wy, hx, hy, done
 
         if engine is None:
             # no deformation: the window is read-only — no donation, so
             # its array identity stays stable between shifts (which lets
             # the streamer's identity-keyed shift pre-staging hold)
             def chunk(window, cm, goal_ctrl, state, base_key, idx,
-                      frame_ox, frame_oy, goal_world):
-                _, state, wx, wy, hx, hy = scan_and_pose(
+                      frame_ox, frame_oy):
+                _, state, wx, wy, hx, hy, done = scan_and_pose(
                     window, cm, goal_ctrl, state, base_key, idx,
                     frame_ox, frame_oy)
-                return state, wx, wy, hx, hy, reached_flag(wx, wy,
-                                                           goal_world)
+                return state, wx, wy, hx, hy, done
 
             return jax.jit(chunk)
 
         def chunk(window, counts, cm, goal_ctrl, state, base_key, idx,
-                  frame_ox, frame_oy, goal_world, win_ox, win_oy):
-            hf, state, wx, wy, hx, hy = scan_and_pose(
+                  frame_ox, frame_oy, win_ox, win_oy):
+            hf, state, wx, wy, hx, hy, done = scan_and_pose(
                 window, cm, goal_ctrl, state, base_key, idx,
                 frame_ox, frame_oy)
             # wheel-track deformation from measured per-wheel loads
@@ -263,8 +271,7 @@ class LargeScaleClosedLoop:
                 window, counts, res, (win_ox, win_oy), positions,
                 jnp.full((4,), yaw), loads[0],
             )
-            return (window, counts, state, wx, wy, hx, hy,
-                    reached_flag(wx, wy, goal_world))
+            return (window, counts, state, wx, wy, hx, hy, done)
 
         return jax.jit(chunk, donate_argnums=(0, 1))
 
@@ -489,13 +496,12 @@ class LargeScaleClosedLoop:
         frame_oy = jnp.asarray(float(self.block_y) + self.half_block,
                                jnp.float32)
         wox, woy = streamer.window_origin()
-        goal_w_dev = jnp.asarray(conf.goal, jnp.float32)
         if self.deform_engine is not None:
             def call(i, state):
                 nonlocal window, counts
                 window, counts, state, *outs = self._chunk_fn(
                     window, counts, self.costmap, goal_ctrl, state, key,
-                    np.int32(i), frame_ox, frame_oy, goal_w_dev,
+                    np.int32(i), frame_ox, frame_oy,
                     jnp.asarray(wox, jnp.float32),
                     jnp.asarray(woy, jnp.float32))
                 return state, outs
@@ -503,7 +509,7 @@ class LargeScaleClosedLoop:
             def call(i, state):
                 state, *outs = self._chunk_fn(
                     window, self.costmap, goal_ctrl, state, key,
-                    np.int32(i), frame_ox, frame_oy, goal_w_dev)
+                    np.int32(i), frame_ox, frame_oy)
                 return state, outs
 
         # warm (compile already cached from run())
@@ -537,7 +543,6 @@ class LargeScaleClosedLoop:
         reached = False
         t0 = time.perf_counter()
         goal_w = np.asarray(conf.goal, np.float64)
-        goal_w_dev = jnp.asarray(conf.goal, jnp.float32)
 
         chunk_idx = 0
         steady_after = 240  # sim steps of warmup before steady-state timing
@@ -561,7 +566,7 @@ class LargeScaleClosedLoop:
                 window, counts, state, wx_d, wy_d, hx_d, hy_d, reached_d = (
                     self._chunk_fn(
                         window, counts, self.costmap, goal_ctrl, state, key,
-                        np.int32(chunk_idx), frame_ox, frame_oy, goal_w_dev,
+                        np.int32(chunk_idx), frame_ox, frame_oy,
                         jnp.asarray(wox, jnp.float32),
                         jnp.asarray(woy, jnp.float32),
                     )
@@ -570,7 +575,7 @@ class LargeScaleClosedLoop:
             else:
                 state, wx_d, wy_d, hx_d, hy_d, reached_d = self._chunk_fn(
                     window, self.costmap, goal_ctrl, state, key,
-                    np.int32(chunk_idx), frame_ox, frame_oy, goal_w_dev,
+                    np.int32(chunk_idx), frame_ox, frame_oy,
                 )
             steps += conf.terrain_check_every
             chunk_idx += 1
