@@ -172,6 +172,7 @@ class LargeScaleClosedLoop:
         )
         self._chunk_fn = self._make_chunk_fn()
         self._staged = None          # (center_block_key, rock_keys, costmap)
+        self._prestage_thread = None
         self.prestage_hits = 0
         self.prestage_misses = 0
         self.shift_phase_log: List[dict] = []  # per-shift phase timings
@@ -386,12 +387,29 @@ class LargeScaleClosedLoop:
         lx, ly = wx - sp[0], wy - sp[1]
         return ((lx // q) * q + sp[0], (ly // q) * q + sp[1])
 
+    def _join_prestage(self):
+        """Wait for an in-flight background pre-stage (bounded: it started
+        at least one chunk earlier and is mostly relay waits)."""
+        t = self._prestage_thread
+        if t is not None and t.is_alive():
+            t.join()
+        self._prestage_thread = None
+
     def _maybe_prestage(self, wx: float, wy: float, hx: float, hy: float):
         """Predict the next center-block crossing from the heading lookahead
-        and build that window's costmap + entering block band *now*, while
-        the control chunks keep running — so the actual shift only swaps
-        arrays instead of stalling ~100-220 ms (BENCH_r03
-        shift_latency_ms)."""
+        and build that window's costmap + the shifted window itself *now*,
+        in a background thread, while the control chunks keep running — so
+        the actual shift only swaps arrays and the staging's relay fetches
+        overlap chunk compute (the GIL releases during blocking JAX calls).
+        Thread-safety: the staged products are written atomically at the
+        end; the main thread only touches the shared crater RNG inside
+        shift handling, which joins this thread first."""
+        import threading
+
+        if self._prestage_thread is not None:
+            if self._prestage_thread.is_alive():
+                return  # one staging in flight at a time
+            self._prestage_thread = None
         streamer = self.lstm.map_manager.streamer
         bs = streamer.conf.block_size
         L = self.conf.prestage_lookahead_m
@@ -406,19 +424,33 @@ class LargeScaleClosedLoop:
         dj = pred_blk[1] - cur_blk[1]
         a = streamer.anchor
         new_anchor = (a[0] + di, a[1] + dj)
-        # stage the SHIFTED WINDOW itself inside the streamer (identity-
-        # keyed; deformation stamps invalidate it automatically): the roll
-        # + entering-block writes execute on device now, so the crossing
-        # only swaps arrays
-        streamer.prestage_shift(new_anchor)
         if self._staged is not None and self._staged[0] == key:
+            # costmap staged; make sure the window stage exists too
+            streamer.prestage_shift(new_anchor)
             return
-        # stage the costmap for the predicted window (EDT dispatches async)
-        qpos = self._quantized_update_pos(px, py)
-        rock_keys = self._rock_keys(qpos)
-        cm = self._build_costmap(block_xy=key,
-                                 obstacles=self._rocks_for(qpos))
-        self._staged = (key, rock_keys, cm)
+
+        def work():
+            # staging is best-effort: any failure just falls back to the
+            # synchronous rebuild at the crossing
+            try:
+                # stage the SHIFTED WINDOW inside the streamer (identity-
+                # keyed) — except under deformation, where the chunk donates
+                # a fresh window every interval (the snapshot could be
+                # deleted mid-compose and the stage would be invalidated
+                # anyway)
+                if self.deform_engine is None:
+                    streamer.prestage_shift(new_anchor)
+                # stage the costmap for the predicted window
+                qpos = self._quantized_update_pos(px, py)
+                rock_keys = self._rock_keys(qpos)
+                cm = self._build_costmap(block_xy=key,
+                                         obstacles=self._rocks_for(qpos))
+                self._staged = (key, rock_keys, cm)
+            except Exception:  # pragma: no cover - depends on timing
+                pass
+
+        self._prestage_thread = threading.Thread(target=work, daemon=True)
+        self._prestage_thread.start()
 
     # -- block-shift rebasing (:546-576) ---------------------------------------
 
@@ -595,6 +627,14 @@ class LargeScaleClosedLoop:
             # terrain cascade (update gate lives inside the orchestrator)
             local = (wx - conf.terrain.starting_position[0],
                      wy - conf.terrain.starting_position[1])
+            # crossing imminent? settle any in-flight background staging
+            # before the cascade consumes the staged window / crater RNG
+            cur_center = (int(np.floor(wx / self.lstm.settings.block_size))
+                          * self.lstm.settings.block_size,
+                          int(np.floor(wy / self.lstm.settings.block_size))
+                          * self.lstm.settings.block_size)
+            if cur_center != (self.block_x, self.block_y):
+                self._join_prestage()
             updated, corrected = self.lstm.update_visual_mesh(local)
             acc["terrain_s"] += time.perf_counter() - t_c
 

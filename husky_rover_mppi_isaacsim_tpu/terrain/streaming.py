@@ -541,11 +541,13 @@ class TerrainStreamer:
         self.shift_count += 1
         return True
 
-    def _compose_shift(self, old_anchor, new_anchor, donate: bool) -> Array:
+    def _compose_shift(self, old_anchor, new_anchor, donate: bool,
+                       source: Array | None = None) -> Array:
         """Shifted window for ``old_anchor -> new_anchor``: build the
         entering blocks, then one compiled roll+write program
         (:func:`_shift_window`). ``donate=False`` keeps the source window
-        alive (pre-staging path)."""
+        alive (pre-staging path; ``source`` pins the snapshot so a
+        concurrent window swap cannot slip in mid-compose)."""
         side = self.conf.blocks_per_side
         bpx = self.conf.block_px
         di = new_anchor[0] - old_anchor[0]
@@ -571,7 +573,7 @@ class TerrainStreamer:
             cap = len(blocks)
         fn = _shift_window if donate else _shift_window_keep
         return fn(
-            self.window,
+            self.window if source is None else source,
             jnp.asarray([di * bpx, dj * bpx], jnp.int32),
             jnp.stack(blocks[:cap]),
             jnp.asarray(starts[:cap], jnp.int32),
@@ -592,12 +594,14 @@ class TerrainStreamer:
         if (abs(new_anchor[0] - self.anchor[0]) >= side
                 or abs(new_anchor[1] - self.anchor[1]) >= side):
             return  # full rebuild path — nothing to stage
+        src = self.window  # snapshot: key the stage on THIS array identity
         if (self._staged_shift is not None
                 and self._staged_shift[0] == new_anchor
-                and self._staged_shift[2] == id(self.window)):
+                and self._staged_shift[2] == id(src)):
             return
-        win = self._compose_shift(self.anchor, new_anchor, donate=False)
-        self._staged_shift = (new_anchor, win, id(self.window))
+        win = self._compose_shift(self.anchor, new_anchor, donate=False,
+                                  source=src)
+        self._staged_shift = (new_anchor, win, id(src))
 
     def _prefetch(self, di: int, dj: int) -> None:
         """Speculatively build (and cache) the band of blocks one step
