@@ -329,16 +329,29 @@ def run_evaluation(tree) -> dict:
     ev = tree.get("evaluation", {}) or {}
     world = _world_cfg(tree)
     if str(ev.get("protocol", "episode")) == "thesis":
+        # Default runs_per_arm follows the protocol function's 64: thesis
+        # aggregation drops the 5 greatest values per critic, so fewer than
+        # ~16 runs/arm reports "thesis protocol" means from a handful of
+        # survivors (ADVICE r04). An explicit config below the trim count
+        # is refused rather than silently mislabeled.
+        runs_per_arm = int(ev.get("runs_per_arm", 64))
+        if runs_per_arm <= 5:
+            raise SystemExit(
+                "evaluation.runs_per_arm must exceed the thesis protocol's "
+                "drop-5-greatest trim (got %d)" % runs_per_arm)
         table = run_thesis_protocol_experiment(
             ks=tuple(ev.get("ks", (350, 500, 1000))),
-            runs_per_arm=int(ev.get("runs_per_arm", 8)),
+            runs_per_arm=runs_per_arm,
             horizon=int(ev.get("horizon", 100)),
             max_loops=int(ev.get("max_loops", 3500)),
             half_width=float(world.get("half_width", 75.0)),
             seed=int(tree.get("seed", 42)),
             slope_weight=float(ev.get("slope_weight", 35.5)),
+            sigma_base=float(ev.get("sigma_base", 0.3)),
             gather_engine=str(ev.get("gather_engine", "direct")),
+            terrain_seed=int(ev.get("terrain_seed", 42)),
             slope_critic=str(ev.get("slope_critic", "body")),
+            terrain_z_scale=float(ev.get("terrain_z_scale", 1.0)),
         )
         return {"mode": "evaluation", **table}
     table = run_2d_vs_3d_experiment(

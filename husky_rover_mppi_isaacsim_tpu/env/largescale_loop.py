@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 import time
+from collections import deque
 from typing import List, Optional
 
 import jax
@@ -72,6 +74,16 @@ class LargeScaleLoopConf:
     # missing #2).
     prestage_shifts: bool = True
     prestage_lookahead_m: float = 6.0
+    # Chunks kept in flight beyond the one being processed (VERDICT r04
+    # missing #1): the host consumes the rover pose only for terrain gating
+    # and logging, which tolerates `depth` chunks of lag (<=0.5 m/chunk at
+    # the default chunking vs the 2 m update gate and 6 m prestage
+    # lookahead), so each chunk's pose readback overlaps the next chunks'
+    # device compute instead of stalling the loop for one relay round-trip
+    # per chunk (BENCH r04: fetch_s 374 of wall 435 s). 0 = synchronous;
+    # the deformation path always runs synchronously (its donated window
+    # chain cannot outlive a background streamer roll).
+    pipeline_depth: int = 4
     # Debug/test: on every pre-stage hit, also run the synchronous rebuild
     # and assert the staged costmap is bit-identical (defeats the latency
     # win — tests only).
@@ -134,6 +146,101 @@ def _roll_pass_counts(counts, di_px, dj_px):
     full_jump = (jnp.abs(di_px) >= n0) | (jnp.abs(dj_px) >= n1)
     keep = keep_r & keep_c & jnp.logical_not(full_jump)
     return jnp.where(keep, rolled, 0)
+
+
+class _TerrainWorker:
+    """One serial background thread owning EVERY terrain-side mutation of
+    the pipelined streamed loop: shift pre-staging, the update cascade
+    (streamer roll + crater sampling + clipmaps + rocks), and the
+    shift-time costmap build. The main thread only dispatches chunk
+    programs, submits (coalesced) poses here, and applies completed shift
+    events — so the crater RNG, the rock DB, ``rocks_data`` and the
+    streamer's window/anchor are touched by exactly one thread (the
+    prestage-vs-shift RNG race of the old two-thread split is gone by
+    construction; ADVICE r04). This is the worker-pool role of the
+    reference's 8+1 terrain processes (high_resolution_DEM_workers.py)
+    collapsed onto one thread, which suffices because the heavy work is
+    asynchronous device dispatch."""
+
+    def __init__(self, loop: "LargeScaleClosedLoop"):
+        self.loop = loop
+        self._cond = threading.Condition()
+        self._pending = None      # newest submitted pose (coalesced)
+        self._busy = False
+        self._stop = False
+        self._events: List[dict] = []
+        self._last_block = (loop.block_x, loop.block_y)
+        self.error: Optional[BaseException] = None
+        self.terrain_s = 0.0
+        self.prestage_s = 0.0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, pose) -> None:
+        """Queue a world pose; a not-yet-started older pose is replaced
+        (the cascade gates on 2 m of travel, so only the newest matters —
+        and coalescing guarantees the streamer never re-anchors backwards
+        off a stale pose)."""
+        with self._cond:
+            self._pending = pose
+            self._cond.notify_all()
+
+    def pop_events(self) -> List[dict]:
+        with self._cond:
+            evs, self._events = self._events, []
+            return evs
+
+    def drain(self) -> None:
+        """Block until the queue is empty and the worker is idle."""
+        with self._cond:
+            while (self._pending is not None or self._busy) \
+                    and self.error is None:
+                self._cond.wait(timeout=0.2)
+
+    def stop(self) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._thread.join(timeout=60.0)
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while self._pending is None and not self._stop:
+                    self._cond.wait()
+                if self._pending is None and self._stop:
+                    return
+                pose, self._pending = self._pending, None
+                self._busy = True
+            try:
+                self._process(pose)
+            except BaseException as e:  # surfaced by the main loop
+                self.error = e
+            finally:
+                with self._cond:
+                    self._busy = False
+                    self._cond.notify_all()
+
+    def _process(self, pose) -> None:
+        loop = self.loop
+        wx, wy, hx, hy = pose
+        t0 = time.perf_counter()
+        if loop.conf.prestage_shifts:
+            loop._prestage_inline(wx, wy, hx, hy)
+        t1 = time.perf_counter()
+        self.prestage_s += t1 - t0
+        sp = loop.conf.terrain.starting_position
+        updated, corrected = loop.lstm.update_visual_mesh(
+            (wx - sp[0], wy - sp[1]))
+        bx, by = loop.lstm.get_hr_map_current_block_coordinates()
+        if (bx, by) != self._last_block:
+            self._last_block = (bx, by)
+            upd_pos = (loop.lstm._to_global(corrected) if updated
+                       else (wx, wy))
+            ev = loop._prepare_shift_event(bx, by, upd_pos)
+            with self._cond:
+                self._events.append(ev)
+        self.terrain_s += time.perf_counter() - t1
 
 
 class LargeScaleClosedLoop:
@@ -387,6 +494,27 @@ class LargeScaleClosedLoop:
         lx, ly = wx - sp[0], wy - sp[1]
         return ((lx // q) * q + sp[0], (ly // q) * q + sp[1])
 
+    def _would_shift(self, local) -> bool:
+        """Predict whether ``update_visual_mesh(local)`` will shift the
+        streamer window: replicate the orchestrator's 2 m travel gate + the
+        quantization to the update threshold, then compare the anchor the
+        streamer would adopt at that *corrected* position with its current
+        one (update_visual_mesh :252-258 + streaming.update :484-487)."""
+        lstm = self.lstm
+        q = lstm.settings.update_every_n_meters
+        last = lstm.last_update_coordinates
+        if last is not None:
+            dx = local[0] - last[0]
+            dy = local[1] - last[1]
+            if (dx * dx + dy * dy) ** 0.5 <= q:
+                return False
+        corrected = ((local[0] // q) * q, (local[1] // q) * q)
+        gx, gy = lstm._to_global(corrected)
+        streamer = lstm.map_manager.streamer
+        n = streamer.conf.num_blocks + 1
+        bx, by = streamer.block_index((gx, gy))
+        return (bx - n, by - n) != streamer.anchor
+
     def _join_prestage(self):
         """Wait for an in-flight background pre-stage (bounded: it started
         at least one chunk earlier and is mostly relay waits)."""
@@ -451,6 +579,100 @@ class LargeScaleClosedLoop:
 
         self._prestage_thread = threading.Thread(target=work, daemon=True)
         self._prestage_thread.start()
+
+    def _prestage_inline(self, wx: float, wy: float, hx: float, hy: float):
+        """Synchronous pre-staging for the pipelined path — runs ON the
+        terrain worker thread (already background), so no nested thread and
+        no shared-RNG race. Same predictor as :meth:`_maybe_prestage`: when
+        the heading lookahead crosses into a new center block, stage the
+        shifted window inside the streamer and the costmap for the
+        predicted anchor."""
+        streamer = self.lstm.map_manager.streamer
+        bs = streamer.conf.block_size
+        L = self.conf.prestage_lookahead_m
+        norm = float(np.hypot(hx, hy)) or 1.0
+        px, py = wx + L * hx / norm, wy + L * hy / norm
+        pred_blk = streamer.block_index((px, py))
+        cur_blk = streamer.block_index((wx, wy))
+        if pred_blk == cur_blk:
+            return
+        key = (pred_blk[0] * bs, pred_blk[1] * bs)
+        a = streamer.anchor
+        new_anchor = (a[0] + pred_blk[0] - cur_blk[0],
+                      a[1] + pred_blk[1] - cur_blk[1])
+        streamer.prestage_shift(new_anchor)
+        if self._staged is not None and self._staged[0] == key:
+            return
+        qpos = self._quantized_update_pos(px, py)
+        rock_keys = self._rock_keys(qpos)
+        cm = self._build_costmap(block_xy=key,
+                                 obstacles=self._rocks_for(qpos))
+        self._staged = (key, rock_keys, cm)
+
+    # -- pipelined shift events (worker -> main) -------------------------------
+
+    def _prepare_shift_event(self, bx, by, upd_pos) -> dict:
+        """Everything the main thread needs to re-seat after a block shift,
+        assembled ON the worker thread (costmap build touches rocks_data and
+        the rock DB): the shifted window reference, the costmap (pre-staged
+        when anchor + rock-region keys match — bit-identical to the rebuild
+        by seed-determinism), and phase timings."""
+        t0 = time.perf_counter()
+        staged = self._staged
+        self._staged = None
+        hit = (staged is not None and staged[0] == (bx, by)
+               and staged[1] == self._rock_keys(upd_pos))
+        if hit:
+            cm = staged[2]
+            if self.conf.verify_prestage:
+                sync = self._build_costmap(block_xy=(bx, by))
+                np.testing.assert_array_equal(
+                    np.asarray(staged[2].cost), np.asarray(sync.cost),
+                    err_msg="staged costmap != synchronous rebuild",
+                )
+        else:
+            cm = self._build_costmap(block_xy=(bx, by))
+        return {
+            "bx": bx,
+            "by": by,
+            "window": self.lstm.map_manager.streamer.window,
+            "costmap": cm,
+            "hit": bool(hit),
+            "costmap_s": round(time.perf_counter() - t0, 3),
+        }
+
+    def _apply_shift_event(self, ev: dict, state: LoopState, goal_ctrl):
+        """Main-thread half of a pipelined block shift: pure host re-seating
+        plus one device rebase of the (possibly still in-flight) state — a
+        pointer swap, never a blocking wait."""
+        t0 = time.perf_counter()
+        bx, by = ev["bx"], ev["by"]
+        shift_x = bx - self.block_x
+        shift_y = by - self.block_y
+        self.block_x, self.block_y = bx, by
+        self.frame = frames.BlockFrame(
+            block_x=jnp.asarray(bx, jnp.float32),
+            block_y=jnp.asarray(by, jnp.float32),
+            half_block=jnp.asarray(self.half_block, jnp.float32),
+        )
+        self.hf = HeightField.create(ev["window"], self.window_half)
+        self.costmap = ev["costmap"]
+        if ev["hit"]:
+            self.prestage_hits += 1
+        else:
+            self.prestage_misses += 1
+        sx = jnp.asarray(shift_x, jnp.float32)
+        sy = jnp.asarray(shift_y, jnp.float32)
+        new_pos = frames.rebase_on_shift(state.rovers.position, sx, sy)
+        state = state._replace(rovers=state.rovers._replace(position=new_pos))
+        goal_ctrl = frames.rebase_on_shift(goal_ctrl, sx, sy)
+        self.shift_phase_log.append({
+            "hit": ev["hit"],
+            "reseat_s": 0.0,
+            "costmap_s": ev["costmap_s"] if not ev["hit"] else 0.0,
+            "rebase_s": round(time.perf_counter() - t0, 3),
+        })
+        return state, goal_ctrl
 
     # -- block-shift rebasing (:546-576) ---------------------------------------
 
@@ -556,6 +778,156 @@ class LargeScaleClosedLoop:
         return chunks * conf.terrain_check_every / dt
 
     def run(self, record_path: bool = True) -> LargeScaleRunResult:
+        """Drive the rover to the goal. The default path pipelines the
+        per-chunk pose readback (VERDICT r04 missing #1); deformation runs
+        the synchronous loop — its donated window chain requires the
+        streamer roll to happen between chunks."""
+        if self.deform_engine is not None or self.conf.pipeline_depth <= 0:
+            return self._run_sync(record_path)
+        return self._run_pipelined(record_path)
+
+    def _run_pipelined(self, record_path: bool = True) -> LargeScaleRunResult:
+        """Lag-tolerant streamed loop: keep ``pipeline_depth`` chunks in
+        flight and consume poses ``depth`` chunks late. Correctness under
+        lag: the goal stop box freezes the state ON DEVICE every sim step
+        (scan_and_pose), terrain updates gate on 2 m of travel (>= 4x the
+        lag distance), the window covers the rover +-87.5 m at reference
+        scale, and a block shift is pure re-seating — in-flight chunks
+        keep computing in the old (self-consistent) frame whose output
+        world poses are frame-independent; the state future is rebased
+        exactly once when the event applies. Matches the wall-rate role of
+        the reference's realtime 60 Hz loop
+        (cfg/environment/largescale.yaml:3-5) without per-chunk stalls."""
+        conf = self.conf
+        streamer = self.lstm.map_manager.streamer
+        # chunks keep the pre-shift window alive as an input while the
+        # worker composes the shifted one — never donate it
+        streamer.donate_shifts = False
+        state = self._initial_state()
+        goal_ctrl = self._goal_ctrl()
+        key = jax.random.key(conf.seed)
+        window = streamer.window
+        n = conf.terrain_check_every
+
+        path: List[tuple] = []
+        shift_latencies: List[float] = []
+        costmap_rebuilds = 0
+        block_shifts = 0
+        reached = False
+        processed_steps = 0
+        steady_after = 240
+        t_steady = None
+        steps_at_steady = 0
+        acc = {"dispatch_s": 0.0, "fetch_s": 0.0, "terrain_s": 0.0,
+               "prestage_s": 0.0, "shift_s": 0.0}
+        self.chunk_phase_acc = acc
+        worker = _TerrainWorker(self)
+        ready: deque = deque()   # (chunk_idx, scalar-output futures)
+        chunk_idx = 0
+        dispatched_steps = 0
+        t0 = time.perf_counter()
+
+        def apply_events():
+            nonlocal state, goal_ctrl, window, block_shifts, costmap_rebuilds
+            for ev in worker.pop_events():
+                t_s = time.perf_counter()
+                state, goal_ctrl = self._apply_shift_event(
+                    ev, state, goal_ctrl)
+                window = ev["window"]
+                block_shifts += 1
+                costmap_rebuilds += 1
+                dt = time.perf_counter() - t_s
+                shift_latencies.append(dt)
+                acc["shift_s"] += dt
+
+        def process(ci, sc) -> bool:
+            """Fetch + consume one matured chunk; True when the goal box
+            latched inside it."""
+            nonlocal processed_steps, t_steady, steps_at_steady
+            t_b = time.perf_counter()
+            wx, wy, hx, hy, reached_f = map(float, jax.device_get(sc))
+            acc["fetch_s"] += time.perf_counter() - t_b
+            processed_steps = (ci + 1) * n
+            if t_steady is None and processed_steps >= steady_after:
+                t_steady = time.perf_counter()
+                steps_at_steady = processed_steps
+            if record_path:
+                path.append((wx, wy))
+            if reached_f:
+                return True
+            worker.submit((wx, wy, hx, hy))
+            return False
+
+        try:
+            while dispatched_steps < conf.max_steps:
+                if worker.error is not None:
+                    raise worker.error
+                apply_events()
+                t_a = time.perf_counter()
+                frame_ox = jnp.asarray(
+                    float(self.block_x) + self.half_block, jnp.float32)
+                frame_oy = jnp.asarray(
+                    float(self.block_y) + self.half_block, jnp.float32)
+                state, wx_d, wy_d, hx_d, hy_d, reached_d = self._chunk_fn(
+                    window, self.costmap, goal_ctrl, state, key,
+                    np.int32(chunk_idx), frame_ox, frame_oy,
+                )
+                scalars = (wx_d, wy_d, hx_d, hy_d, reached_d)
+                for s in scalars:
+                    try:  # start the host transfer NOW; fetched `depth`
+                        s.copy_to_host_async()  # chunks later
+                    except Exception:
+                        break
+                ready.append((chunk_idx, scalars))
+                chunk_idx += 1
+                dispatched_steps += n
+                acc["dispatch_s"] += time.perf_counter() - t_a
+                if len(ready) <= conf.pipeline_depth:
+                    continue
+                if process(*ready.popleft()):
+                    reached = True
+                    break
+            # drain the pipeline: remaining poses (frozen after the goal
+            # box), then trailing terrain events so the final seating
+            # matches the streamer
+            while ready:
+                ci, sc = ready.popleft()
+                if process(ci, sc):
+                    reached = True
+            worker.drain()
+            if worker.error is not None:
+                raise worker.error
+            apply_events()
+        finally:
+            worker.stop()
+            acc["terrain_s"] += worker.terrain_s
+            acc["prestage_s"] += worker.prestage_s
+
+        wall = time.perf_counter() - t0
+        self.hf = self._window_heightfield()
+        self.last_state = state
+        wx, wy = self._world_position(state)
+        start = np.asarray(conf.start, np.float64)
+        goal_w = np.asarray(conf.goal, np.float64)
+        return LargeScaleRunResult(
+            reached=reached,
+            steps=processed_steps,
+            block_shifts=block_shifts,
+            distance_m=float(np.linalg.norm(goal_w - start)),
+            final_position=(wx, wy),
+            wall_s=wall,
+            shift_latencies_s=shift_latencies,
+            costmap_rebuilds=costmap_rebuilds,
+            path_world=np.asarray(path) if path else np.zeros((0, 2)),
+            steady_steps=(processed_steps - steps_at_steady)
+            if t_steady else 0,
+            steady_wall_s=(time.perf_counter() - t_steady)
+            if t_steady else 0.0,
+            prestage_hits=self.prestage_hits,
+            prestage_misses=self.prestage_misses,
+        )
+
+    def _run_sync(self, record_path: bool = True) -> LargeScaleRunResult:
         conf = self.conf
         streamer = self.lstm.map_manager.streamer
         state = self._initial_state()
@@ -627,13 +999,14 @@ class LargeScaleClosedLoop:
             # terrain cascade (update gate lives inside the orchestrator)
             local = (wx - conf.terrain.starting_position[0],
                      wy - conf.terrain.starting_position[1])
-            # crossing imminent? settle any in-flight background staging
-            # before the cascade consumes the staged window / crater RNG
-            cur_center = (int(np.floor(wx / self.lstm.settings.block_size))
-                          * self.lstm.settings.block_size,
-                          int(np.floor(wy / self.lstm.settings.block_size))
-                          * self.lstm.settings.block_size)
-            if cur_center != (self.block_x, self.block_y):
+            # Will this update shift the streamer? Derive the guard from the
+            # SAME 2 m-quantized corrected position the streamer will
+            # re-anchor on (ADVICE r04: the raw position's block can lie one
+            # block ahead of the corrected one when traveling in -x/-y, so a
+            # raw-block guard could run the shift concurrently with a live
+            # pre-stage thread sharing the crater RNG). If so, settle any
+            # in-flight background staging first.
+            if self._would_shift(local):
                 self._join_prestage()
             updated, corrected = self.lstm.update_visual_mesh(local)
             acc["terrain_s"] += time.perf_counter() - t_c

@@ -397,7 +397,12 @@ def run_thesis_protocol_experiment(
                                   max_elevation=1.2 * terrain_z_scale,
                                   min_elevation=-1.2 * terrain_z_scale)
     hf = HeightField.create(jnp.asarray(z, dtype), half_width, dtype=dtype)
-    cm = costmap_750(half_width=half_width, size=1500 // 2,
+    # 0.1 m/px costmap — the reference protocol's grid (grid_size=1500 at
+    # half_width 75, MPPI_OO_current.py:743 / stats_results.py). Collision
+    # detection (>0.99 cells) and near-miss buckets quantize at this
+    # resolution; a coarser grid is not protocol-comparable (ADVICE r04).
+    cm = costmap_750(half_width=half_width,
+                     size=int(round(2 * half_width / 0.1)),
                      use_exact_edt=True)
     cm = cm._replace(cost=cm.cost.astype(dtype),
                      half_width=cm.half_width.astype(dtype),

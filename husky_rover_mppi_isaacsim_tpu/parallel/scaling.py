@@ -175,14 +175,7 @@ def write_scaling_report(path, results: dict, config: MPPIConfig,
         return min(multi) if multi else 0.0
 
     new_rows = {str(k): v for k, v in results.items()}
-    old_rows = existing.get("results", {})
-    if old_rows and worst_eff(new_rows) <= worst_eff(old_rows):
-        merged_rows = old_rows
-    else:
-        merged_rows = new_rows
-
-    report = dict(existing)
-    report.update({
+    new_block = {
         "metric": "mppi_strong_scaling",
         "config": {"num_samples": config.num_samples,
                    "horizon": config.horizon},
@@ -192,9 +185,32 @@ def write_scaling_report(path, results: dict, config: MPPIConfig,
             "device_kind": jax.devices()[0].device_kind,
             "host_physical_cores": multiprocessing.cpu_count(),
         },
-        "results": merged_rows,
-        "note": note or existing.get("note", ""),
-    })
+        "results": new_rows,
+        "note": note,
+    }
+    # Ratchet as a UNIT (rows + the config/devices/note they were measured
+    # under — mixing retained rows with a new run's metadata would record
+    # numbers under a config they were never measured with, ADVICE r04),
+    # and only when the stored sweep is comparable: a different
+    # config/backend skips the ratchet entirely and replaces the report.
+    old_rows = existing.get("results", {})
+    comparable = (
+        old_rows
+        and existing.get("config") == new_block["config"]
+        and existing.get("devices", {}).get("backend")
+        == new_block["devices"]["backend"]
+    )
+    report = dict(existing)
+    if comparable and worst_eff(new_rows) <= worst_eff(old_rows):
+        # keep the stored sweep + its provenance; surface the newer (worse)
+        # run's summary so a genuine regression stays visible in the
+        # committed artifact rather than only in the runs ledger
+        report["last_run_worst_efficiency"] = round(worst_eff(new_rows), 4)
+    else:
+        report.update(new_block)
+        if not note:
+            report["note"] = existing.get("note", "")
+        report.pop("last_run_worst_efficiency", None)
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
     with open(str(path) + ".runs.jsonl", "a") as f:

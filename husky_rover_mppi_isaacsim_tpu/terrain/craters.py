@@ -123,10 +123,12 @@ def randomize_metadata(
     min_xy_ratio: float = 0.85,
     max_xy_ratio: float = 1.0,
     dtype=np.float32,
+    as_numpy: bool = False,
 ) -> CraterField:
     """Host metadata randomization mirroring the reference's per-crater draw
     order (crater_distribution.py:427-451: deformation id, marks id,
-    intensity, profile id, xy ratio, rotation)."""
+    intensity, profile id, xy ratio, rotation). ``as_numpy`` keeps the field
+    on host (the streamer splits it into radius tiers before upload)."""
     n = coordinates.shape[0]
     assert n <= capacity, (n, capacity)
     field = CraterField(
@@ -151,6 +153,8 @@ def randomize_metadata(
     field.xy_factor[:n] = rng.uniform(min_xy_ratio, max_xy_ratio, n)
     field.rotation[:n] = rng.uniform(0, 360, n).astype(np.int64)
     field.mask[:n] = True
+    if as_numpy:
+        return field
     return CraterField(*[jnp.asarray(f) for f in field])
 
 

@@ -278,13 +278,17 @@ class LargeScaleTerrainManager:
         t2 = _time.perf_counter()
 
         # 3. rocks: rebuild rocks_data for the span around the rover
-        #    (rocks_data is reset every update, :247-249)
-        self.rocks_data = []
+        #    (rocks_data is reset every update, :247-249). Built into a
+        #    local list and swapped atomically: the streamed loop's main
+        #    thread may read rocks_data (extract_rocks_data) while the
+        #    cascade runs on the terrain worker thread.
+        rocks_data = []
         for sampler in self.rock_samplers:
             block = sampler.sample_region(global_corrected,
                                           block_span=s.rock_block_span)
-            self.rocks_data.append(block.coordinates)
-            self.rocks_data.append(block.scale)
+            rocks_data.append(block.coordinates)
+            rocks_data.append(block.scale)
+        self.rocks_data = rocks_data
         t3 = _time.perf_counter()
 
         # 4. collider window shift (:250) — deferred to export time when

@@ -71,14 +71,10 @@ def sample_block_positions(rng: np.random.Generator, conf: RockDistConf,
     )
 
 
-def orientation_from_normal(normal: Array, key: Array, dtype=None) -> Array:
-    """Random surface-tangent quaternion (xyzw) per normal — the tangent-
-    frame half of ``_bilinear_interpolation_and_random_orientation`` +
-    ``_get_random_tangent_vector`` (geometry_clipmaps_warp.py:363-422):
-    vx = normalize(cross(n, random)), vy = cross(n, vx), R = [vx, vy, n].
-    """
-    dtype = dtype or normal.dtype
-    rand = jax.random.uniform(key, normal.shape[:-1] + (3,), dtype, -1.0, 1.0)
+def _quat_from_normal_and_rand(normal: Array, rand: Array) -> Array:
+    """Tangent-frame quaternion math shared by every keying scheme:
+    vx = normalize(cross(n, random)), vy = cross(n, vx), R = [vx, vy, n]
+    (``_get_random_tangent_vector``, geometry_clipmaps_warp.py:363-422)."""
     vx = jnp.cross(normal, rand)
     vx = geom.normalize(vx)
     vy = jnp.cross(normal, vx)
@@ -92,6 +88,66 @@ def orientation_from_normal(normal: Array, key: Array, dtype=None) -> Array:
     qz = (m[..., 1, 0] - m[..., 0, 1]) / (4.0 * w)
     quat = jnp.stack([qx, qy, qz, w], axis=-1)
     return quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+
+
+def orientation_from_normal(normal: Array, key: Array, dtype=None) -> Array:
+    """Random surface-tangent quaternion (xyzw) per normal — the tangent-
+    frame half of ``_bilinear_interpolation_and_random_orientation`` +
+    ``_get_random_tangent_vector`` (geometry_clipmaps_warp.py:363-422).
+    """
+    dtype = dtype or normal.dtype
+    rand = jax.random.uniform(key, normal.shape[:-1] + (3,), dtype, -1.0, 1.0)
+    return _quat_from_normal_and_rand(normal, rand)
+
+
+def _per_rock_rand(base_key: Array, blk: Array, idx: Array, dtype) -> Array:
+    """(N, 3) uniform draws keyed per rock by (block, index-in-block):
+    independent of batch composition and visit order, so one fused batched
+    query over many blocks is bit-identical to per-block queries."""
+
+    def one(b0, b1, i):
+        k = jax.random.fold_in(base_key, b0)
+        k = jax.random.fold_in(k, b1)
+        k = jax.random.fold_in(k, i)
+        return jax.random.uniform(k, (3,), dtype, -1.0, 1.0)
+
+    return jax.vmap(one)(blk[:, 0], blk[:, 1], idx)
+
+
+@jax.jit
+def _rock_surface_hf(hf: HeightField, xy: Array, blk: Array, idx: Array,
+                     base_key: Array):
+    """Fused heights + tangent quats for a padded rock batch against a fixed
+    :class:`HeightField` — one program regardless of how many blocks the
+    batch spans (the per-block eager query path compiled per shape bucket
+    and cost minutes of remote compiles at reference scale, BENCH r04
+    ``rocks_s``)."""
+    from ..core import heightfield as hfield
+
+    x, y = xy[:, 0], xy[:, 1]
+    q = hfield.corners_at(hf, x, y)
+    h = hfield.bilinear(x, y, q, hf.resolution)
+    normal = hfield.quad_normal(q, hf.resolution)
+    rand = _per_rock_rand(base_key, blk, idx, xy.dtype)
+    return h, _quat_from_normal_and_rand(normal, rand)
+
+
+@jax.jit
+def _rock_surface_window(window: Array, ox, oy, res, xy: Array, blk: Array,
+                         idx: Array, base_key: Array):
+    """Fused heights + tangent quats against a streamed window in world
+    coordinates (the TerrainStreamer/MapManager provider surface —
+    NestedGeometryClipmapManager.get_height_and_random_scale,
+    nested_geometry_clipmaps_manager.py:220-237)."""
+    from .streaming import _window_normal
+    from .upsample import bilinear_point_sample
+
+    px = (xy[:, 0] - ox) / res
+    py = (xy[:, 1] - oy) / res
+    h = bilinear_point_sample(window, px, py)
+    normal = _window_normal(window, px, py, res)
+    rand = _per_rock_rand(base_key, blk, idx, xy.dtype)
+    return h, _quat_from_normal_and_rand(normal, rand)
 
 
 def surface_orientation(hf: HeightField, xy: Array, key: Array):
@@ -203,24 +259,6 @@ class RockSampler:
         self.db = RockDB()
         self._key = jax.random.key(conf.seed)
 
-    def _query_surface(self, xy: np.ndarray, key: Array):
-        # Pad the rock count to a shape bucket before the jitted surface
-        # query: point-process counts differ per block, and a fresh compile
-        # per distinct n turned the first reference-scale window build into
-        # ~50 remote compilations (minutes each through the TPU tunnel).
-        n = xy.shape[0]
-        bucket = max(64, -(-n // 256) * 256)
-        xy_p = np.zeros((bucket, 2), xy.dtype if xy.dtype.kind == "f"
-                        else np.float32)
-        xy_p[:n] = xy
-        if isinstance(self.hf, HeightField):
-            h, quat, _ = surface_orientation(
-                self.hf, jnp.asarray(xy_p, self.hf.z.dtype), key
-            )
-        else:
-            h, quat, _ = provider_orientation(self.hf, xy_p, key)
-        return h[:n], quat[:n]
-
     def _block_rng(self, bx: int, by: int) -> np.random.Generator:
         """Per-block generator keyed by (seed, block): block contents are
         deterministic regardless of visit order — the same build-order
@@ -229,24 +267,6 @@ class RockSampler:
         return np.random.default_rng(
             (self.conf.seed, 0x52C3, bx & 0xFFFFFFFF, by & 0xFFFFFFFF)
         )
-
-    def _prepare_block(self, bx: int, by: int):
-        """Host metadata + *dispatched* (not fetched) surface query for one
-        block — identical RNG keys and shape buckets to the synchronous
-        path, so batched and one-at-a-time sampling are bit-identical."""
-        rng = self._block_rng(bx, by)
-        xy = sample_block_positions(rng, self.conf, bx, by)
-        n = xy.shape[0]
-        scale_xyz = rng.uniform(
-            self.conf.scale_min, self.conf.scale_max, (n, 1)
-        ) * np.ones((1, 3))
-        ids = rng.integers(0, self.conf.num_assets, n).astype(np.int32)
-        sub = jax.random.fold_in(
-            jax.random.fold_in(jax.random.key(self.conf.seed), bx & 0xFFFF),
-            by & 0xFFFF,
-        )
-        hq = self._query_surface(xy, sub) if n else None
-        return (bx, by), xy, scale_xyz, ids, hq
 
     def _finalize_block(self, key, xy, scale_xyz, ids, h, quat) -> RockBlock:
         block = RockBlock(
@@ -262,33 +282,84 @@ class RockSampler:
     def sample_block(self, bx: int, by: int) -> RockBlock:
         if (bx, by) in self.db:
             return self.db.get((bx, by))
-        key, xy, scale_xyz, ids, hq = self._prepare_block(bx, by)
-        if hq is None:
-            h, quat = np.zeros((0,)), np.zeros((0, 4))
-        else:
-            h, quat = jax.device_get(hq)
-        return self._finalize_block(key, xy, scale_xyz, ids, h, quat)
+        self.sample_blocks([(bx, by)])
+        return self.db.get((bx, by))
 
     def sample_blocks(self, keys) -> None:
-        """Sample many missing blocks with ONE host<->device round-trip:
-        every block's surface query is dispatched asynchronously (same
-        per-block RNG keys/buckets as :meth:`sample_block`), then all
-        results fetch in a single ``jax.device_get``. Through the
-        high-latency TPU relay this replaces 2N fetches with 1
-        (the per-update terrain cascade was relay-RT-bound, BENCH r04
-        decomposition)."""
+        """Sample every missing block with ONE fused surface query and ONE
+        host<->device round-trip: host point-process metadata per block,
+        then a single jitted heights+quats program over the concatenated
+        rocks (padded to a shape bucket so the compile caches across
+        updates). Per-rock randomness is keyed (seed, block, index), so the
+        result is independent of which blocks share a batch — batched and
+        one-at-a-time sampling are bit-identical. Replaces the per-block
+        query path whose eager quaternion ops + per-bucket compiles made
+        the first reference-scale sampling cost minutes through the TPU
+        relay (BENCH r04 ``cascade_phase_totals_s.rocks_s: 544``)."""
         missing = [k for k in keys if k not in self.db]
         if not missing:
             return
-        prepared = [self._prepare_block(bx, by) for bx, by in missing]
-        fetched = jax.device_get([p[4] for p in prepared if p[4] is not None])
-        it = iter(fetched)
-        for key, xy, scale_xyz, ids, hq in prepared:
-            if hq is None:
+        metas = []           # ((bx, by), xy, scale_xyz, ids)
+        xs, blks, idxs = [], [], []
+        for bx, by in missing:
+            rng = self._block_rng(bx, by)
+            xy = sample_block_positions(rng, self.conf, bx, by)
+            n = xy.shape[0]
+            scale_xyz = rng.uniform(
+                self.conf.scale_min, self.conf.scale_max, (n, 1)
+            ) * np.ones((1, 3))
+            ids = rng.integers(0, self.conf.num_assets, n).astype(np.int32)
+            metas.append(((bx, by), xy, scale_xyz, ids))
+            if n:
+                xs.append(np.asarray(xy, np.float64))
+                blks.append(np.broadcast_to(
+                    np.asarray([bx, by], np.int32), (n, 2)))
+                idxs.append(np.arange(n, dtype=np.int32))
+        if xs:
+            xy_all = np.concatenate(xs).astype(np.float32)
+            blk_all = np.concatenate(blks)
+            idx_all = np.concatenate(idxs)
+            h_all, q_all = jax.device_get(
+                self._batched_query(xy_all, blk_all, idx_all))
+        cursor = 0
+        for key, xy, scale_xyz, ids in metas:
+            n = xy.shape[0]
+            if n == 0:
                 h, quat = np.zeros((0,)), np.zeros((0, 4))
             else:
-                h, quat = next(it)
+                h = h_all[cursor:cursor + n]
+                quat = q_all[cursor:cursor + n]
+                cursor += n
             self._finalize_block(key, xy, scale_xyz, ids, h, quat)
+
+    def _batched_query(self, xy: np.ndarray, blk: np.ndarray,
+                       idx: np.ndarray):
+        """Dispatch ONE fused surface query for a rock batch (padded to a
+        512 bucket; pad rows carry block (0,0)/index 0 and are sliced off,
+        so padding never changes real rows)."""
+        n = xy.shape[0]
+        bucket = max(256, -(-n // 512) * 512)
+        dtype = (self.hf.z.dtype if isinstance(self.hf, HeightField)
+                 else np.float32)
+        xy_p = np.zeros((bucket, 2), dtype)
+        xy_p[:n] = xy
+        blk_p = np.zeros((bucket, 2), np.int32)
+        blk_p[:n] = blk
+        idx_p = np.zeros((bucket,), np.int32)
+        idx_p[:n] = idx
+        if isinstance(self.hf, HeightField):
+            h, q = _rock_surface_hf(self.hf, jnp.asarray(xy_p), blk_p, idx_p,
+                                    self._key)
+        else:
+            streamer = getattr(self.hf, "streamer", self.hf)
+            ox, oy = streamer.window_origin()
+            h, q = _rock_surface_window(
+                streamer.window,
+                jnp.float32(ox), jnp.float32(oy),
+                jnp.float32(streamer.conf.resolution),
+                jnp.asarray(xy_p), blk_p, idx_p, self._key,
+            )
+        return h[:n], q[:n]
 
     def sample_region(self, position, block_span: int = 1):
         """Sample the (2*span+1)^2 blocks around a position; returns the

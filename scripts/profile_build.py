@@ -84,7 +84,7 @@ def main():
 
     # 4. metadata -> render fields (host)
     t0 = time.perf_counter()
-    fields = {k: s._block_field(*k) for k in keys}
+    fields = {k: s._block_fields(*k) for k in keys}
     t_fields = time.perf_counter() - t0
 
     # 5. crater stamps
@@ -97,10 +97,13 @@ def main():
     for k in keys:
         origin = jnp.asarray(
             [k[0] * s.conf.block_size, k[1] * s.conf.block_size], jnp.float32)
-        craters = render_crater_block(
-            s.profiles, fields[k], origin, s.conf.resolution, s.conf.z_scale,
-            s.conf.block_px, s.conf.pad_px, patch_px=s._patch_px)
-        blocks[k] = bases[k] + craters
+        acc = bases[k]
+        for field, patch_px in fields[k]:
+            acc = acc + render_crater_block(
+                s.profiles, field, origin, s.conf.resolution, s.conf.z_scale,
+                s.conf.block_px, s.conf.pad_px, patch_px=patch_px,
+                chunk=min(256, field.mask.shape[0]))
+        blocks[k] = acc
     jax.block_until_ready(list(blocks.values()))
     t_stamp = time.perf_counter() - t0
 
