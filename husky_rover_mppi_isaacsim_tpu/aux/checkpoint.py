@@ -52,6 +52,15 @@ def save(path: str | pathlib.Path, state: Any, metadata: dict | None = None) -> 
     np.savez_compressed(path, **arrays)
 
 
+def load_metadata(path: str | pathlib.Path) -> dict:
+    """Read only the metadata dict of a checkpoint — callers with
+    dynamic-structure payloads (per-block terrain caches, variable-length
+    paths) store the structure here and build the :func:`restore` template
+    from it."""
+    with np.load(path) as data:
+        return json.loads(bytes(data["__metadata__"].tobytes()).decode() or "{}")
+
+
 def restore(path: str | pathlib.Path, template: Any) -> tuple[Any, dict]:
     """Load a checkpoint back onto ``template``'s structure.
 

@@ -89,7 +89,11 @@ class MPPIConfig:
     # cost of a 256-cell patch. Bit-identical; needs a concrete resolution.
     chunk_patches: bool = True
     # Sample-block width of the fused Pallas kernel (lanes per program).
-    pallas_block_k: int = 128
+    # 0 = auto: small batches run as one unpadded block; larger batches
+    # take wide blocks (~K/8, clamped to [512, 2048]) — per-step fixed
+    # costs (loop control, one-hot builds, scalar ops) amortize over more
+    # lanes, measured 10.03 -> 6.45 ms at K=16384 x H=64 on v5e.
+    pallas_block_k: int = 0
     # Static resolution hints for when the field resolutions are traced
     # (e.g. under jit with donated heightfields); None = read from the field
     # when it is concrete, else fall back to a single unchunked patch.

@@ -178,7 +178,7 @@ def rollout_25d_pallas(
     linear_velocities: Array,
     angular_velocities: Array,
     dt: float,
-    block_k: int = 128,
+    block_k: int = 0,
     compute_wheels: bool = True,
 ) -> Rollout:
     """:func:`rollout_25d` through the fused Pallas kernel
@@ -197,8 +197,12 @@ def rollout_25d_pallas(
     if len(batch) != 1:
         raise ValueError("pallas rollout expects a single sample axis")
     K = batch[0]
+    if not block_k:  # auto width (MPPIConfig.pallas_block_k = 0)
+        kp = -(-K // 128) * 128
+        block_k = kp if kp <= 512 else min(2048, max(512, K // 8))
     # don't pad tiny batches (the K=1 optimal rollout) up to a wide block
-    block_k = min(block_k, max(128, -(-K // 128) * 128))
+    block_k = min(-(-block_k // 128) * 128,
+                  max(128, -(-K // 128) * 128))
     chunks = _as_chunks(hf, lin.shape[-1])
     first = chunks[0][0]
     if not isinstance(first, PatchField):

@@ -289,6 +289,7 @@ class LargeScaleTerrainManager:
             rocks_data.append(block.coordinates)
             rocks_data.append(block.scale)
         self.rocks_data = rocks_data
+        self._last_rocks_position = global_corrected  # checkpoint/resume
         t3 = _time.perf_counter()
 
         # 4. collider window shift (:250) — deferred to export time when

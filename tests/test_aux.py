@@ -125,3 +125,104 @@ def test_semantic_mask_disk(rng):
     ))
     assert seg[20, 20] == 2      # inside the rock
     assert seg[5, 5] == 1        # ground
+
+
+def test_camera_depth_matches_flat_plane_geometry(tmp_path):
+    """Pinhole raycast depth on a flat plane matches the closed form: a
+    camera at height h pitched down by p sees, at image row v, depth
+    s = h / (cos(a) * tan(p + atan((v - cy)/fy)) ) ... verified via the
+    exact per-ray formula s = h / (-d_world_z) for unit-image-plane rays
+    (depth-vs-pose consistency, VERDICT r04 next #7)."""
+    from husky_rover_mppi_isaacsim_tpu.aux.labeling import (
+        CameraIntrinsics,
+        camera_pose_from_rover,
+        camera_raycast,
+    )
+    import jax.numpy as jnp
+
+    z = np.zeros((200, 200), np.float32)  # flat plane z = 0, 0.25 m/px
+    res = 0.25
+    origin = (-25.0, -25.0)
+    intr = CameraIntrinsics(width=64, height=48, focal_length=24.0)
+    cam_pos, cam_R = camera_pose_from_rover(
+        (0.0, 0.0), (1.0, 0.0), 0.0, mount_height=1.0, pitch_deg=25.0)
+    depth, hx, hy, hit = camera_raycast(
+        jnp.asarray(z), res, origin, jnp.asarray(cam_pos),
+        jnp.asarray(cam_R), intr.fx, intr.fy, intr.cx, intr.cy,
+        width=intr.width, height=intr.height, steps=512, max_range=30.0)
+    depth = np.asarray(depth)
+    hit = np.asarray(hit)
+    # analytic expected depth per pixel: ray p_z(s) = h + s * dz = 0
+    u = (np.arange(intr.width) - intr.cx) / intr.fx
+    v = (np.arange(intr.height) - intr.cy) / intr.fy
+    d_cam = np.stack(np.broadcast_arrays(
+        u[None, :], v[:, None], np.ones((1, 1))), axis=-1)
+    d_world = np.einsum("ij,hwj->hwi", cam_R, d_cam)
+    expected = np.where(d_world[..., 2] < -1e-6,
+                        1.0 / np.maximum(-d_world[..., 2], 1e-9), np.inf)
+    m = hit & np.isfinite(expected) & (expected < 25.0)
+    assert m.sum() > 500
+    np.testing.assert_allclose(depth[m], expected[m], rtol=0.02)
+    # hit points project back through the pose consistently: re-derived
+    # image-plane depth from the world hit point equals the reported depth
+    pts = np.stack([np.asarray(hx), np.asarray(hy),
+                    np.zeros_like(depth)], axis=-1)
+    rel = pts - cam_pos
+    s_check = np.einsum("hwi,i->hw", rel, cam_R[:, 2])
+    np.testing.assert_allclose(s_check[m], depth[m], rtol=0.02, atol=0.01)
+
+
+def test_camera_semantic_sees_rock(tmp_path):
+    """A rock placed ahead of the rover shows up in the camera-frame
+    semantic mask, and the recorder writes intrinsics alongside poses."""
+    from husky_rover_mppi_isaacsim_tpu.aux.labeling import CameraIntrinsics
+
+    z = np.zeros((200, 200), np.float32)
+    al = AutonomousLabeling(LabelingConf(data_dir=str(tmp_path)))
+    frame = al.record_camera(
+        z, resolution=0.25, origin=(-25.0, -25.0),
+        rover_xy=(0.0, 0.0), heading_xy=(1.0, 0.0), ground_z=0.0,
+        intrinsics=CameraIntrinsics(width=64, height=48),
+        rock_xy=np.array([[4.0, 0.0]]), rock_radius=np.array([0.8]),
+        steps=256, max_range=30.0,
+    )
+    sem = np.asarray(frame["semantic"])
+    assert (sem == 2).sum() > 10, "rock not visible in camera semantics"
+    assert (sem == 1).sum() > 100, "ground not visible"
+    files = [f.name for f in al.run_dir.iterdir()]
+    assert any(f.startswith("camera_") and f.endswith(".json")
+               for f in files)
+    assert any(f.startswith("cam_depth") for f in files)
+    import json as _json
+
+    cam = _json.loads(
+        (al.run_dir / "camera_00000.json").read_text())
+    assert cam["intrinsics"]["fx"] > 0 and len(cam["rotation"]) == 3
+
+
+def test_hillshade_cast_shadows_darken_crater_floor():
+    """At low sun elevation the floor of a crater-like pit falls into cast
+    shadow (darker than the Lambertian-only shade); at high sun it does
+    not (VERDICT r04 next #8)."""
+    from husky_rover_mppi_isaacsim_tpu.aux.labeling import (
+        cast_shadow_mask,
+        hillshade_shadowed,
+    )
+    import jax.numpy as jnp
+
+    n = 128
+    res = 0.5
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    r = np.hypot(xx - n / 2, yy - n / 2) * res
+    z = np.where(r < 8.0, -4.0 * (1 - (r / 8.0) ** 2), 0.0).astype(np.float32)
+
+    low_sun = jnp.asarray([1.0, 0.0, 0.12])
+    high_sun = jnp.asarray([1.0, 0.0, 2.5])
+    mask_low = np.asarray(cast_shadow_mask(jnp.asarray(z), res, low_sun))
+    mask_high = np.asarray(cast_shadow_mask(jnp.asarray(z), res, high_sun))
+    floor = r < 4.0
+    assert mask_low[floor].mean() > 0.5, "low sun must shadow the pit floor"
+    assert mask_high[floor].mean() < 0.1, "high sun must not"
+    img_low = np.asarray(hillshade_shadowed(jnp.asarray(z), res, low_sun))
+    img_high = np.asarray(hillshade_shadowed(jnp.asarray(z), res, high_sun))
+    assert img_low[floor].mean() < img_high[floor].mean()

@@ -299,6 +299,71 @@ def test_reference_scale_window_builds():
     np.testing.assert_allclose(sub2[:-10, :], sub[10:, :], atol=1e-5)
 
 
+def test_checkpoint_resume_continues(tmp_path):
+    """A short traverse checkpoints mid-way and a resumed loop continues
+    from the saved cursor (structure/cursor round-trip; the bit-identity
+    contract is pinned by the slow test below)."""
+    import dataclasses
+
+    base = loop_conf(
+        loop=ClosedLoopConfig(mppi=MPPIConfig(num_samples=64, horizon=30)),
+        goal=(40.0, 6.0),
+        max_steps=120,
+        pipeline_depth=0,
+    )
+    ck = tmp_path / "ck.npz"
+    part = LargeScaleClosedLoop(dataclasses.replace(
+        base, checkpoint_path=str(ck), checkpoint_every_steps=60))
+    part.run()
+    assert ck.exists()
+
+    loop2, info = LargeScaleClosedLoop.resume(
+        dataclasses.replace(base, max_steps=240), str(ck))
+    assert info["steps"] in (60, 72, 120)
+    res = loop2.run(_resume=info)
+    assert res.steps == 240
+    # the resumed path includes the saved prefix
+    assert res.path_world.shape[0] == 240 // base.terrain_check_every
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """Interrupt a traverse mid-way (after at least one block shift) and
+    resume: the continuation is BIT-IDENTICAL to the uninterrupted run —
+    same reached flag, same step count, same recorded world path, same
+    final position (terrain blocks are seed-deterministic, the crater RNG
+    stream is restored, and the no-deform window re-composes exactly from
+    the restored metadata). Synchronous path (pipeline_depth=0): the
+    pipelined path's terrain-update timing is coalescing-dependent."""
+    import dataclasses
+
+    base = loop_conf(
+        loop=ClosedLoopConfig(mppi=MPPIConfig(num_samples=128, horizon=50)),
+        goal=(32.0, 5.0),
+        max_steps=8000,
+        pipeline_depth=0,
+    )
+    full = LargeScaleClosedLoop(base)
+    res_full = full.run()
+    assert res_full.reached and res_full.block_shifts >= 1
+
+    cut = 3000  # past the first block shift for this traverse
+    ck = tmp_path / "ck.npz"
+    part = LargeScaleClosedLoop(dataclasses.replace(
+        base, max_steps=cut, checkpoint_path=str(ck),
+        checkpoint_every_steps=cut))
+    res_part = part.run()
+    assert ck.exists()
+    assert res_part.block_shifts >= 1, "checkpoint must span a shift"
+
+    loop2, info = LargeScaleClosedLoop.resume(base, str(ck))
+    res2 = loop2.run(_resume=info)
+    assert res2.reached == res_full.reached
+    assert res2.steps == res_full.steps
+    np.testing.assert_array_equal(res2.path_world, res_full.path_world)
+    assert res2.final_position == res_full.final_position
+
+
 def test_roll_pass_counts_follows_window():
     """Deformation pass counts roll with the window on a shift: carried
     pixels keep their counts, the newly-exposed band resets (VERDICT r02
