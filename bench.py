@@ -269,8 +269,31 @@ def bench_largescale(traverse_m: float = 100.0):
         # paying 1/4 the relay round-trips of the 12-step default.
         terrain_check_every=48,
     )
+    # Relay round-trip statistics (VERDICT r04 weak #7: wall rates are
+    # relay-noisy; persisting the RT distribution makes runs comparable
+    # across relay moods).
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x: x * 2.0 + 1.0)
+    _ = float(np.asarray(probe(jnp.float32(1.0))))  # compile
+    rts = []
+    for i in range(7):
+        t_r = time.perf_counter()
+        _ = float(np.asarray(probe(jnp.float32(i))))
+        rts.append(time.perf_counter() - t_r)
+    relay_rt = {
+        "min_ms": round(1e3 * min(rts), 1),
+        "median_ms": round(1e3 * float(np.median(rts)), 1),
+        "max_ms": round(1e3 * max(rts), 1),
+    }
+
     t_build = time.perf_counter()
     loop = LargeScaleClosedLoop(conf)
+    # true device sync: the window build is async-dispatched; pull a
+    # window-dependent scalar so build_s includes the real device compute
+    # (block_until_ready ACKs early through this relay)
+    _ = float(np.asarray(jax.jit(lambda z: z[::500, ::500].sum())(
+        loop.lstm.map_manager.streamer.window)))
     t_build = time.perf_counter() - t_build
     res = loop.run(record_path=False)
     shifts = res.shift_latencies_s
@@ -284,6 +307,8 @@ def bench_largescale(traverse_m: float = 100.0):
         "resolution_m": loop.lstm.map_manager.streamer.conf.resolution,
         "costmap_px": conf.costmap_size,
         "build_s": round(t_build, 1),
+        "build_phases_s": getattr(loop.lstm, "build_phase_acc", {}),
+        "relay_rt": relay_rt,
         "reached": bool(res.reached),
         "distance_m": round(res.distance_m, 1),
         "sim_steps": res.steps,

@@ -197,13 +197,24 @@ def rollout_25d_pallas(
     if len(batch) != 1:
         raise ValueError("pallas rollout expects a single sample axis")
     K = batch[0]
+    chunks = _as_chunks(hf, lin.shape[-1])
     if not block_k:  # auto width (MPPIConfig.pallas_block_k = 0)
         kp = -(-K // 128) * 128
-        block_k = kp if kp <= 512 else min(2048, max(512, K // 8))
+        max_p = max(getattr(f, "size", 0) or f.z3.shape[-1]
+                    for f, _ in chunks)
+        if kp <= 512 and max_p <= 384:
+            block_k = kp
+        elif max_p > 384:
+            # wide sample blocks + large patches overflow the 16 MB scoped
+            # VMEM stack (measured: P=640 x KB=512 needs 18.06 MB); the
+            # streamed-terrain configs (P 512-768) keep the proven narrow
+            # blocks — their loop is readback-bound, not kernel-bound
+            block_k = 128
+        else:
+            block_k = min(2048, max(512, K // 8))
     # don't pad tiny batches (the K=1 optimal rollout) up to a wide block
     block_k = min(-(-block_k // 128) * 128,
                   max(128, -(-K // 128) * 128))
-    chunks = _as_chunks(hf, lin.shape[-1])
     first = chunks[0][0]
     if not isinstance(first, PatchField):
         raise ValueError("pallas rollout requires patch fields")

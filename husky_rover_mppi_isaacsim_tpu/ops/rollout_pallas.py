@@ -55,7 +55,8 @@ def _cross(ax, ay, az, bx, by, bz):
 
 
 def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
-            out_ref, *, P: int, KB: int, H: int, wheels: bool):
+            out_ref, *, P: int, KB: int, H: int, wheels: bool,
+            pack4: bool):
     dt = sf_ref[_SF["dt"]]
     res = sf_ref[_SF["res"]]
     x_min = sf_ref[_SF["x_min"]]
@@ -110,6 +111,11 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
         m = (iota_pk == jp).astype(jnp.float32)
         return jnp.sum(w * m, axis=0, keepdims=True)
 
+    def lookup_nearest(px, py):
+        ip, jp = to_patch(cell_i(px), cell_j(py))
+        (w,) = col_select_packed(ip)
+        return row_pick(w, jp)
+
     def body(t, carry):
         # Wheel lookups are software-pipelined one step: step t's corner
         # selection matmul also carries step t-1's wheel columns (their
@@ -131,7 +137,7 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
         cj = cell_j(y)
         ip, jp = to_patch(ci, cj)
         ip1, jp1 = to_patch(ci + 1, cj + 1)
-        if wheels:
+        if wheels and pack4:
             w_i, w_i1, w_lw, w_rw = col_select_packed(ip, ip1, lip, rip)
             lwz = row_pick(w_lw, ljp)
             rwz = row_pick(w_rw, rjp)
@@ -140,8 +146,15 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
             def _store_prev_wheels():
                 out_ref[0, 8, t - 1, :] = lwz[0]
                 out_ref[0, 11, t - 1, :] = rwz[0]
-        else:
+        elif pack4:
             w_i, w_i1 = col_select_packed(ip, ip1)
+        else:
+            # narrow form for large patches: one selection at a time keeps
+            # the Mosaic stack under the 16 MB scoped-VMEM limit (a packed
+            # (P, 4KB) one-hot + its f32 accumulator overflow it at
+            # P >= 640 even with KB = 128)
+            (w_i,) = col_select_packed(ip)
+            (w_i1,) = col_select_packed(ip1)
         q00 = row_pick(w_i, jp)
         q01 = row_pick(w_i1, jp)
         q10 = row_pick(w_i, jp1)
@@ -188,9 +201,9 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
         if wheels:
             # wheel tracks (projection_warp.py:332-348) — skipped entirely
             # in body-slope-critic mode, where lw/rw are never consumed.
-            # Positions store now; the z lookups ride the NEXT step's
-            # packed matmul (indices into the carry) and flush after the
-            # loop for t = H-1.
+            # pack4: positions store now, the z lookups ride the NEXT
+            # step's packed matmul (indices into the carry) and flush after
+            # the loop for t = H-1. Narrow form: look up in-step.
             wx, wy, _wz = _cross(nx, ny, nz, ohx, ohy, ohz)
             lwx = x + WHEEL_OFFSET * wx
             lwy = y + WHEEL_OFFSET * wy
@@ -202,6 +215,11 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
             out_ref[0, 7, t, :] = lwy[0]
             out_ref[0, 9, t, :] = rwx[0]
             out_ref[0, 10, t, :] = rwy[0]
+            if not pack4:
+                out_ref[0, 8, t, :] = row_pick(
+                    col_select_packed(lip)[0], ljp)[0]
+                out_ref[0, 11, t, :] = row_pick(
+                    col_select_packed(rip)[0], rjp)[0]
         return (x, y, ohx, ohy, ohz, lip, ljp, rip, rjp)
 
     x = xy_ref[0, 0, :][None, :]
@@ -212,7 +230,7 @@ def _kernel(sf_ref, si_ref, xy_ref, hd_ref, lin_ref, ang_ref, z3_ref,
     zero_i = jnp.zeros((1, KB), jnp.int32)
     carry = jax.lax.fori_loop(
         0, H, body, (x, y, hx, hy, hz, zero_i, zero_i, zero_i, zero_i))
-    if wheels:
+    if wheels and pack4:
         # flush the last step's deferred wheel lookups
         _, _, _, _, _, lip, ljp, rip, rjp = carry
         w_lw, w_rw = col_select_packed(lip, rip)
@@ -275,8 +293,13 @@ def rollout_chunk(
     ])
 
     NCH = 12 if wheels else 6
+    # packed selections win on throughput but their (P, 4KB) one-hot +
+    # f32 accumulator must fit the 16 MB scoped-VMEM stack next to the
+    # 3-split patch; large streamed-terrain patches take the narrow form
+    pack4 = P <= 384
     out = pl.pallas_call(
-        functools.partial(_kernel, P=P, KB=KB, H=H, wheels=wheels),
+        functools.partial(_kernel, P=P, KB=KB, H=H, wheels=wheels,
+                          pack4=pack4),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

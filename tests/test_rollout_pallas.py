@@ -67,6 +67,36 @@ def test_kernel_matches_xla_rollout(rng):
     assert same > 0.98
 
 
+def test_kernel_narrow_form_matches_xla_rollout(rng):
+    """Patches above the pack4 threshold (P > 384) take the narrow
+    one-selection-at-a-time kernel form (scoped-VMEM bound at streamed-
+    terrain patch sizes); it must agree with the XLA path exactly like the
+    packed form, wheels included."""
+    dtype = jnp.float32
+    hf = _world(rng)
+    pf = patch_mod.extract_patch(
+        hf, jnp.asarray(-3.0, dtype), jnp.asarray(2.0, dtype), 512)
+    assert pf.size > 384  # narrow-form trigger
+    K, H = 32, 40
+    pos = jnp.asarray([-3.0, 2.0], dtype)
+    heading = jnp.asarray([0.9, 0.43, 0.0], dtype)
+    heading = heading / jnp.linalg.norm(heading)
+    lin = jnp.asarray(rng.uniform(0, 2, (K, H)), dtype)
+    ang = jnp.asarray(rng.uniform(-1, 1, (K, H)), dtype)
+
+    ref = ro.rollout_25d(pf, pos, heading, lin, ang, 0.045)
+    got = ro.rollout_25d_pallas(pf, pos, heading, lin, ang, 0.045)
+    np.testing.assert_allclose(
+        np.asarray(got.trajectory), np.asarray(ref.trajectory),
+        rtol=0, atol=5e-4)
+    same = (np.asarray(got.left_wheel[..., 2])
+            == np.asarray(ref.left_wheel[..., 2])).mean()
+    assert same > 0.98
+    same_r = (np.asarray(got.right_wheel[..., 2])
+              == np.asarray(ref.right_wheel[..., 2])).mean()
+    assert same_r > 0.98
+
+
 def test_kernel_chunked_matches_single_patch(rng):
     """Chunked kernel calls (128 then 256 patch) agree with one covering
     patch to within FMA-level noise."""
