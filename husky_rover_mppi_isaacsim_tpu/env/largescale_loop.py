@@ -1002,7 +1002,8 @@ class LargeScaleClosedLoop:
             t_b = time.perf_counter()
             wx, wy, hx, hy, reached_f = map(float, jax.device_get(sc))
             acc["fetch_s"] += time.perf_counter() - t_b
-            processed_steps = (ci + 1) * n
+            if not reached:  # chunks after the goal latch are frozen
+                processed_steps = (ci + 1) * n
             if t_steady is None and processed_steps >= steady_after:
                 t_steady = time.perf_counter()
                 steps_at_steady = processed_steps

@@ -117,3 +117,50 @@ def test_scaling_sweep_persists_report():
         ),
     )
     assert report["results"]["8"]["step_ms"] > 0
+
+
+def test_write_scaling_report_ratchet_semantics(tmp_path):
+    """The merge-not-overwrite ratchet keeps rows + the config/provenance
+    they were measured under AS A UNIT, skips the ratchet across configs,
+    and surfaces a regressed re-run in the artifact (ADVICE r04)."""
+    import json
+
+    from husky_rover_mppi_isaacsim_tpu.parallel.scaling import (
+        write_scaling_report,
+    )
+
+    path = tmp_path / "SCALING.json"
+    cfg_a = MPPIConfig(num_samples=64, horizon=8)
+    good = {1: {"step_ms": 10.0, "efficiency": 1.0},
+            2: {"step_ms": 5.5, "efficiency": 0.91}}
+    bad = {1: {"step_ms": 9.0, "efficiency": 1.0},
+           2: {"step_ms": 30.0, "efficiency": 0.3}}
+
+    write_scaling_report(path, good, cfg_a, note="clean run")
+    r = json.loads(path.read_text())
+    assert r["results"]["2"]["efficiency"] == 0.91
+
+    # worse re-run, same config: rows + note retained as a unit, the
+    # regression stays visible
+    write_scaling_report(path, bad, cfg_a, note="contended run")
+    r = json.loads(path.read_text())
+    assert r["results"]["2"]["efficiency"] == 0.91
+    assert r["note"] == "clean run"
+    assert r["last_run_worst_efficiency"] == 0.3
+
+    # different config: no ratchet — replace wholesale, marker cleared
+    cfg_b = MPPIConfig(num_samples=128, horizon=8)
+    write_scaling_report(path, bad, cfg_b, note="new config")
+    r = json.loads(path.read_text())
+    assert r["results"]["2"]["efficiency"] == 0.3
+    assert r["config"]["num_samples"] == 128
+    assert "last_run_worst_efficiency" not in r
+
+    # foreign keys survive every merge
+    data = json.loads(path.read_text())
+    data["two_process_weak_scaling"] = {"kept": True}
+    path.write_text(json.dumps(data))
+    write_scaling_report(path, good, cfg_b, note="better again")
+    r = json.loads(path.read_text())
+    assert r["two_process_weak_scaling"] == {"kept": True}
+    assert r["results"]["2"]["efficiency"] == 0.91
