@@ -73,6 +73,8 @@ def cast_shadow_mask(z: Array, resolution, sun_direction: Array,
     ray-traced renders darken crater floors at low sun elevation; this
     restores that photometric response so stellar-driven sun motion
     changes images the same way)."""
+    from ..terrain.upsample import bilinear_point_sample
+
     h, w = z.shape
     sun = sun_direction / jnp.linalg.norm(sun_direction)
     # march length: enough to clear the window at grazing angles
@@ -82,16 +84,6 @@ def cast_shadow_mask(z: Array, resolution, sun_direction: Array,
     rows = jnp.arange(h, dtype=z.dtype)[:, None]
     cols = jnp.arange(w, dtype=z.dtype)[None, :]
 
-    def sample(px, py):
-        x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, h - 2)
-        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, w - 2)
-        fx = jnp.clip(px - x0, 0.0, 1.0)
-        fy = jnp.clip(py - y0, 0.0, 1.0)
-        return ((1 - fx) * (1 - fy) * z[x0, y0]
-                + fx * (1 - fy) * z[x0 + 1, y0]
-                + (1 - fx) * fy * z[x0, y0 + 1]
-                + fx * fy * z[x0 + 1, y0 + 1])
-
     ts = (jnp.arange(1, steps + 1, dtype=z.dtype) / steps) ** 2 * max_t
 
     def body(shadowed, t):
@@ -99,7 +91,7 @@ def cast_shadow_mask(z: Array, resolution, sun_direction: Array,
         py = cols + sun[1] * t / resolution
         ray_z = z + sun[2] * t + eps
         inside = ((px >= 0) & (px <= h - 1) & (py >= 0) & (py <= w - 1))
-        occ = inside & (sample(px, py) > ray_z)
+        occ = inside & (bilinear_point_sample(z, px, py) > ray_z)
         return jnp.logical_or(shadowed, occ), None
 
     shadowed, _ = jax.lax.scan(body, jnp.zeros_like(z, bool), ts)
@@ -213,7 +205,9 @@ def camera_pose_from_rover(rover_xy, heading_xy, ground_z,
     (+z up). Matches the reference's robot-frame camera mounting
     (auto_label.py:174-230 render products follow the robot prim)."""
     hx, hy = float(heading_xy[0]), float(heading_xy[1])
-    n = float(np.hypot(hx, hy)) or 1.0
+    n = float(np.hypot(hx, hy))
+    if n < 1e-9:  # degenerate heading: default to +x (a zero vector would
+        hx, hy, n = 1.0, 0.0, 1.0  # NaN the whole rotation matrix)
     hx, hy = hx / n, hy / n
     p = np.deg2rad(pitch_deg)
     fwd = np.array([np.cos(p) * hx, np.cos(p) * hy, -np.sin(p)])
@@ -243,6 +237,8 @@ def camera_raycast(
     ``depth`` is distance-to-image-plane (the reference's
     ``distance_to_image_plane`` annotator semantics), ``inf`` where the ray
     escapes the window or exceeds ``max_range``."""
+    from ..terrain.upsample import bilinear_point_sample
+
     h_px, w_px = z.shape
     dt = z.dtype
     resolution = jnp.asarray(resolution, dt)
@@ -254,14 +250,7 @@ def camera_raycast(
     max_range = jnp.asarray(max_range, dt)
 
     def sample(px, py):
-        x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, h_px - 2)
-        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, w_px - 2)
-        fxr = jnp.clip(px - x0, 0.0, 1.0)
-        fyr = jnp.clip(py - y0, 0.0, 1.0)
-        return ((1 - fxr) * (1 - fyr) * z[x0, y0]
-                + fxr * (1 - fyr) * z[x0 + 1, y0]
-                + (1 - fxr) * fyr * z[x0, y0 + 1]
-                + fxr * fyr * z[x0 + 1, y0 + 1])
+        return bilinear_point_sample(z, px, py)
 
     # rays scaled so the march parameter s IS the image-plane depth:
     # d_cam = ((u - cx)/fx, (v - cy)/fy, 1)

@@ -209,6 +209,7 @@ class _TerrainWorker:
     def stop(self) -> None:
         with self._cond:
             self._stop = True
+            self._pending = None  # don't run one more cascade on teardown
             self._cond.notify_all()
         self._thread.join(timeout=60.0)
 
@@ -532,6 +533,25 @@ class LargeScaleClosedLoop:
             t.join()
         self._prestage_thread = None
 
+    def _predict_crossing(self, wx: float, wy: float, hx: float, hy: float):
+        """Shared crossing predictor of both pre-staging paths: the heading
+        lookahead's center-block SW corner + the anchor the streamer would
+        adopt there, or ``None`` when no crossing is imminent. Returns
+        ``(key, new_anchor, px, py)``."""
+        streamer = self.lstm.map_manager.streamer
+        bs = streamer.conf.block_size
+        L = self.conf.prestage_lookahead_m
+        norm = float(np.hypot(hx, hy)) or 1.0
+        px, py = wx + L * hx / norm, wy + L * hy / norm
+        pred_blk = streamer.block_index((px, py))
+        cur_blk = streamer.block_index((wx, wy))
+        if pred_blk == cur_blk:
+            return None
+        a = streamer.anchor
+        new_anchor = (a[0] + pred_blk[0] - cur_blk[0],
+                      a[1] + pred_blk[1] - cur_blk[1])
+        return ((pred_blk[0] * bs, pred_blk[1] * bs), new_anchor, px, py)
+
     def _maybe_prestage(self, wx: float, wy: float, hx: float, hy: float):
         """Predict the next center-block crossing from the heading lookahead
         and build that window's costmap + the shifted window itself *now*,
@@ -548,19 +568,10 @@ class LargeScaleClosedLoop:
                 return  # one staging in flight at a time
             self._prestage_thread = None
         streamer = self.lstm.map_manager.streamer
-        bs = streamer.conf.block_size
-        L = self.conf.prestage_lookahead_m
-        norm = float(np.hypot(hx, hy)) or 1.0
-        px, py = wx + L * hx / norm, wy + L * hy / norm
-        pred_blk = streamer.block_index((px, py))
-        cur_blk = streamer.block_index((wx, wy))
-        if pred_blk == cur_blk:
+        pred = self._predict_crossing(wx, wy, hx, hy)
+        if pred is None:
             return
-        key = (pred_blk[0] * bs, pred_blk[1] * bs)  # center-block SW corner
-        di = pred_blk[0] - cur_blk[0]
-        dj = pred_blk[1] - cur_blk[1]
-        a = streamer.anchor
-        new_anchor = (a[0] + di, a[1] + dj)
+        key, new_anchor, px, py = pred
         if self._staged is not None and self._staged[0] == key:
             # costmap staged; make sure the window stage exists too
             streamer.prestage_shift(new_anchor)
@@ -596,20 +607,11 @@ class LargeScaleClosedLoop:
         the heading lookahead crosses into a new center block, stage the
         shifted window inside the streamer and the costmap for the
         predicted anchor."""
-        streamer = self.lstm.map_manager.streamer
-        bs = streamer.conf.block_size
-        L = self.conf.prestage_lookahead_m
-        norm = float(np.hypot(hx, hy)) or 1.0
-        px, py = wx + L * hx / norm, wy + L * hy / norm
-        pred_blk = streamer.block_index((px, py))
-        cur_blk = streamer.block_index((wx, wy))
-        if pred_blk == cur_blk:
+        pred = self._predict_crossing(wx, wy, hx, hy)
+        if pred is None:
             return
-        key = (pred_blk[0] * bs, pred_blk[1] * bs)
-        a = streamer.anchor
-        new_anchor = (a[0] + pred_blk[0] - cur_blk[0],
-                      a[1] + pred_blk[1] - cur_blk[1])
-        streamer.prestage_shift(new_anchor)
+        key, new_anchor, px, py = pred
+        self.lstm.map_manager.streamer.prestage_shift(new_anchor)
         if self._staged is not None and self._staged[0] == key:
             return
         qpos = self._quantized_update_pos(px, py)
@@ -1007,7 +1009,7 @@ class LargeScaleClosedLoop:
             if t_steady is None and processed_steps >= steady_after:
                 t_steady = time.perf_counter()
                 steps_at_steady = processed_steps
-            if record_path:
+            if record_path and not reached:  # drop frozen duplicate poses
                 path.append((wx, wy))
             if reached_f:
                 return True

@@ -211,7 +211,11 @@ def rollout_25d_pallas(
             # blocks — their loop is readback-bound, not kernel-bound
             block_k = 128
         else:
-            block_k = min(2048, max(512, K // 8))
+            # scale the wide-block cap inversely with patch size so the
+            # packed (P, 4KB) one-hot + f32 accumulator stay inside the
+            # 16 MB scoped-VMEM stack (2048 lanes measured safe at P=256)
+            vmem_cap = max(512, (2048 * 256 // max(max_p, 1)) // 128 * 128)
+            block_k = min(2048, vmem_cap, max(512, K // 8))
     # don't pad tiny batches (the K=1 optimal rollout) up to a wide block
     block_k = min(-(-block_k // 128) * 128,
                   max(128, -(-K // 128) * 128))

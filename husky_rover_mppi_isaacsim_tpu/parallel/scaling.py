@@ -207,9 +207,9 @@ def write_scaling_report(path, results: dict, config: MPPIConfig,
         # committed artifact rather than only in the runs ledger
         report["last_run_worst_efficiency"] = round(worst_eff(new_rows), 4)
     else:
+        # replace wholesale — the new run's note stands (inheriting the old
+        # note would re-mix provenance across runs/configs)
         report.update(new_block)
-        if not note:
-            report["note"] = existing.get("note", "")
         report.pop("last_run_worst_efficiency", None)
     with open(path, "w") as f:
         json.dump(report, f, indent=1)

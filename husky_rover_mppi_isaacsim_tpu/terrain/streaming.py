@@ -320,24 +320,6 @@ class TerrainStreamer:
             )
 
     @property
-    def _field_capacity(self) -> int:
-        """Static crater capacity of one padded block raster: density x
-        padded area with headroom, rounded up to the render chunk size."""
-        conf = self.conf
-        padded = conf.block_size + 2 * conf.pad_size
-        expected = padded * padded * sum(conf.crater.densities)
-        cap = int(expected * 1.5) + 64
-        return -(-cap // 256) * 256
-
-    @property
-    def _patch_px(self) -> int:
-        """Static per-crater patch size: the largest crater diameter in
-        pixels plus margin, rounded to a multiple of 8."""
-        r_max = max(hi for _, hi in self.conf.crater.radius_ranges)
-        p = int(np.ceil(2 * r_max / self.conf.resolution)) + 4
-        return -(-p // 8) * 8
-
-    @property
     def _tier_specs(self):
         """Per radius tier ``(r_hi, capacity, patch_px)``, largest radius
         first. Rendering each density tier at ITS OWN patch size instead of
