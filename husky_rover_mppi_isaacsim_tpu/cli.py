@@ -224,17 +224,55 @@ def run_sdg(tree) -> dict:
     from .aux import AutonomousLabeling, LabelingConf
     from .terrain.smallscale import MoonyardConf, MoonyardGenerator
 
+    import numpy as _np
+
     sdg = tree.get("sdg", {})
     conf = LabelingConf(**{k: v for k, v in sdg.items()
                            if k in LabelingConf.__dataclass_fields__})
     gen = MoonyardGenerator(MoonyardConf())
     labeler = AutonomousLabeling(conf, _render_settings_from_cfg(tree))
+    # Optional robot-mounted perspective pass per frame (the reference's
+    # camera render products, auto_label.py:174-230): `sdg.camera: {}`
+    # enables it; keys width/height/pitch_deg/mount_height/steps/
+    # cast_shadows override the defaults.
+    cam_cfg = sdg.get("camera")
+    if cam_cfg is True:
+        cam_cfg = {}
+    rng = _np.random.default_rng(int(tree.get("seed", 42)))
+    res = gen.conf.base.resolution
     for _ in range(conf.num_images):
         dem = gen.randomize()
-        labeler.record(dem, gen.conf.base.resolution)
+        # randomized sun between captures (stellar-driven in the reference)
+        az = rng.uniform(0, 2 * _np.pi)
+        el = rng.uniform(_np.deg2rad(10), _np.deg2rad(60))
+        sun = (float(_np.cos(el) * _np.cos(az)),
+               float(_np.cos(el) * _np.sin(az)), float(_np.sin(el)))
+        labeler.record(dem, res, sun_direction=sun)
+        if cam_cfg is not None:
+            from .aux.labeling import CameraIntrinsics
+
+            dem_np = _np.asarray(dem)
+            h, w = dem_np.shape
+            px = rng.uniform(0.15, 0.85) * h * res
+            py = rng.uniform(0.15, 0.85) * w * res
+            yaw = rng.uniform(0, 2 * _np.pi)
+            gz = float(dem_np[int(px / res), int(py / res)])
+            intr = CameraIntrinsics(
+                width=int(cam_cfg.get("width", 320)),
+                height=int(cam_cfg.get("height", 240)))
+            labeler.record_camera(
+                dem_np, res, (0.0, 0.0), (px, py),
+                (float(_np.cos(yaw)), float(_np.sin(yaw))), gz,
+                intrinsics=intr, sun_direction=sun,
+                mount_height=float(cam_cfg.get("mount_height", 0.8)),
+                pitch_deg=float(cam_cfg.get("pitch_deg", 15.0)),
+                steps=int(cam_cfg.get("steps", 128)),
+                cast_shadows=bool(cam_cfg.get("cast_shadows", False)),
+            )
     return {
         "mode": "sdg",
         "num_images": conf.num_images,
+        "camera": cam_cfg is not None,
         "output_dir": str(labeler.run_dir),
     }
 

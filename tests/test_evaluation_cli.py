@@ -94,6 +94,19 @@ def test_cli_sdg_and_closed_loop(tmp_path, monkeypatch):
                f"sdg.data_dir={tmp_path}/sdg"])
     assert rc == 0
 
+    # camera pass: perspective depth/rgb/semantic + intrinsics JSON
+    rc = main(["mode=sdg", "sdg.num_images=1", "sdg.camera.width=64",
+               "sdg.camera.height=48", "sdg.camera.steps=64",
+               f"sdg.data_dir={tmp_path}/sdg_cam"])
+    assert rc == 0
+    import pathlib
+
+    run_dir = next(pathlib.Path(f"{tmp_path}/sdg_cam").iterdir())
+    names = [f.name for f in run_dir.iterdir()]
+    assert any(n.startswith("cam_depth") for n in names)
+    assert any(n.startswith("camera_") and n.endswith(".json")
+               for n in names)
+
     rc = main([
         "mode=closed_loop", "num_rovers=2", "steps=12",
         "mppi.num_samples=16", "mppi.horizon=8",
