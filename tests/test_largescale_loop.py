@@ -386,3 +386,22 @@ def test_roll_pass_counts_follows_window():
     assert (np.asarray(_roll_pass_counts(counts, 6, 0)) == 0).all()
     assert (np.asarray(_roll_pass_counts(counts, 0, -7)) == 0).all()
     assert (np.asarray(_roll_pass_counts(counts, 9, 9)) == 0).all()
+
+
+def test_pipelined_worker_error_surfaces():
+    """A failure inside the terrain worker thread (cascade/prestage) must
+    surface as an exception from run(), not hang or pass silently."""
+    conf = loop_conf(
+        loop=ClosedLoopConfig(mppi=MPPIConfig(num_samples=32, horizon=16)),
+        goal=(40.0, 5.0),
+        max_steps=600,
+        pipeline_depth=2,
+    )
+    loop = LargeScaleClosedLoop(conf)
+
+    def boom(_local):
+        raise RuntimeError("cascade exploded")
+
+    loop.lstm.update_visual_mesh = boom
+    with pytest.raises(RuntimeError, match="cascade exploded"):
+        loop.run(record_path=False)
