@@ -38,6 +38,15 @@ def _path_key(path) -> str:
     return "/".join(parts) if parts else "_root"
 
 
+def _norm_path(path: str | pathlib.Path) -> pathlib.Path:
+    """``np.savez_compressed`` silently appends ``.npz``; normalise here so
+    a config that says ``checkpoint: {path: traverse.ckpt}`` saves and
+    resumes through the SAME file."""
+    path = pathlib.Path(path)
+    return path if path.suffix == ".npz" else path.with_suffix(
+        path.suffix + ".npz")
+
+
 def save(path: str | pathlib.Path, state: Any, metadata: dict | None = None) -> None:
     """Write a pytree checkpoint: one array per leaf, keyed by tree path."""
     leaves = jax.tree_util.tree_flatten_with_path(state)[0]
@@ -47,7 +56,7 @@ def save(path: str | pathlib.Path, state: Any, metadata: dict | None = None) -> 
     arrays["__metadata__"] = np.frombuffer(
         json.dumps(metadata or {}).encode(), dtype=np.uint8
     )
-    path = pathlib.Path(path)
+    path = _norm_path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **arrays)
 
@@ -57,7 +66,7 @@ def load_metadata(path: str | pathlib.Path) -> dict:
     dynamic-structure payloads (per-block terrain caches, variable-length
     paths) store the structure here and build the :func:`restore` template
     from it."""
-    with np.load(path) as data:
+    with np.load(_norm_path(path)) as data:
         return json.loads(bytes(data["__metadata__"].tobytes()).decode() or "{}")
 
 
@@ -67,7 +76,7 @@ def restore(path: str | pathlib.Path, template: Any) -> tuple[Any, dict]:
     Returns ``(state, metadata)``. Every leaf of ``template`` must be
     present in the file; dtypes follow the stored arrays.
     """
-    with np.load(path) as data:
+    with np.load(_norm_path(path)) as data:
         meta = json.loads(bytes(data["__metadata__"].tobytes()).decode() or "{}")
         paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []

@@ -399,22 +399,29 @@ class AutonomousLabeling:
         sun_direction=(0.4, 0.2, 0.9), rock_xy=None, rock_radius=None,
         mount_height: float = 0.8, pitch_deg: float = 15.0,
         steps: int = 192, max_range: float = 40.0,
-        cast_shadows: bool = False,
+        cast_shadows: bool = False, frame: int | None = None,
     ) -> dict:
         """Render + persist one robot-mounted perspective frame (depth /
         rgb / semantic / instance) with its camera intrinsics + pose JSON —
         the camera-frame SDG pass (auto_label.py:174-230 render products;
-        intrinsics surface rep_utils.py:108-126)."""
+        intrinsics surface rep_utils.py:108-126).
+
+        ``frame`` joins the camera products to an already-recorded capture
+        (same frame id as the top-down pass, the reference's
+        one-id-per-capture convention) without advancing the counter."""
         intrinsics = intrinsics or CameraIntrinsics()
+        saved_frame = self.frame
+        if frame is not None:
+            self.frame = int(frame)
         cam_pos, cam_R = camera_pose_from_rover(
             rover_xy, heading_xy, ground_z, mount_height, pitch_deg)
-        frame = render_camera_frame(
+        rendered = render_camera_frame(
             z, resolution, origin, cam_pos, cam_R, intrinsics,
             sun_direction=sun_direction, rock_xy=rock_xy,
             rock_radius=rock_radius, steps=steps, max_range=max_range,
             cast_shadows=cast_shadows,
         )
-        out = {f"cam_{k}": np.asarray(v) for k, v in frame.items()
+        out = {f"cam_{k}": np.asarray(v) for k, v in rendered.items()
                if k != "hit"}
         # finite PNG range: escaped rays render at max_range
         out["cam_depth"] = np.where(np.isfinite(out["cam_depth"]),
@@ -426,8 +433,11 @@ class AutonomousLabeling:
                 "position": cam_pos.tolist(),
                 "rotation": cam_R.tolist(),
             }, fh)
-        self.frame += 1
-        return frame
+        if frame is None:
+            self.frame += 1
+        else:
+            self.frame = saved_frame
+        return rendered
 
     def _write(self, modalities: dict, pose) -> None:
         """PNG + npy writers (rep_utils.py:17-476 equivalents)."""

@@ -238,6 +238,8 @@ def run_sdg(tree) -> dict:
     cam_cfg = sdg.get("camera")
     if cam_cfg is True:
         cam_cfg = {}
+    elif not isinstance(cam_cfg, dict):
+        cam_cfg = None  # false / absent / anything non-mapping disables it
     rng = _np.random.default_rng(int(tree.get("seed", 42)))
     res = gen.conf.base.resolution
     for _ in range(conf.num_images):
@@ -247,6 +249,7 @@ def run_sdg(tree) -> dict:
         el = rng.uniform(_np.deg2rad(10), _np.deg2rad(60))
         sun = (float(_np.cos(el) * _np.cos(az)),
                float(_np.cos(el) * _np.sin(az)), float(_np.sin(el)))
+        frame_id = labeler.frame  # camera products join this capture's id
         labeler.record(dem, res, sun_direction=sun)
         if cam_cfg is not None:
             from .aux.labeling import CameraIntrinsics
@@ -258,8 +261,8 @@ def run_sdg(tree) -> dict:
             yaw = rng.uniform(0, 2 * _np.pi)
             gz = float(dem_np[int(px / res), int(py / res)])
             intr = CameraIntrinsics(
-                width=int(cam_cfg.get("width", 320)),
-                height=int(cam_cfg.get("height", 240)))
+                width=int(cam_cfg.get("width", CameraIntrinsics.width)),
+                height=int(cam_cfg.get("height", CameraIntrinsics.height)))
             labeler.record_camera(
                 dem_np, res, (0.0, 0.0), (px, py),
                 (float(_np.cos(yaw)), float(_np.sin(yaw))), gz,
@@ -268,6 +271,7 @@ def run_sdg(tree) -> dict:
                 pitch_deg=float(cam_cfg.get("pitch_deg", 15.0)),
                 steps=int(cam_cfg.get("steps", 128)),
                 cast_shadows=bool(cam_cfg.get("cast_shadows", False)),
+                frame=frame_id,
             )
     return {
         "mode": "sdg",

@@ -256,10 +256,26 @@ class _TerrainWorker:
 class LargeScaleClosedLoop:
     """Host driver seating the jitted closed loop on the streamed window."""
 
-    def __init__(self, conf: LargeScaleLoopConf):
+    def __init__(self, conf: LargeScaleLoopConf, lstm=None, phase_cb=None):
+        """``lstm`` injects a prebuilt terrain manager (profiling scripts
+        time its sub-phases themselves); ``phase_cb(name, seconds)`` gets
+        one call per construction phase so profilers measure the REAL
+        build path instead of replicating it."""
+        t0 = time.perf_counter()
+
+        def _mark(name):
+            nonlocal t0
+            if phase_cb is not None:
+                phase_cb(name, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+
         self.conf = conf
-        self.lstm = LargeScaleTerrainManager(conf.terrain)
-        self.lstm.build()
+        if lstm is None:
+            self.lstm = LargeScaleTerrainManager(conf.terrain)
+            self.lstm.build()
+        else:
+            self.lstm = lstm
+        _mark("terrain_build")
         streamer = self.lstm.map_manager.streamer
         self.window_half = streamer.conf.window_size / 2.0
         self.half_block = streamer.conf.block_size / 2.0
@@ -282,12 +298,17 @@ class LargeScaleClosedLoop:
         )
 
         self.hf = self._window_heightfield()
+        _mark("window_heightfield")
         self.costmap = self._build_costmap()
+        if phase_cb is not None:  # device-true timing only when profiling
+            jax.block_until_ready(self.costmap.cost)
+        _mark("first_costmap")
         self._step_fn = jax.jit(closed_loop.closed_loop_step, static_argnums=0)
         self.deform_engine = (
             DeformationEngine(conf.deform) if conf.deform is not None else None
         )
         self._chunk_fn = self._make_chunk_fn()
+        _mark("chunk_fn_wrap")
         self._staged = None          # (center_block_key, rock_keys, costmap)
         self._prestage_thread = None
         self.prestage_hits = 0
@@ -1056,6 +1077,11 @@ class LargeScaleClosedLoop:
                     if reached:
                         break
                     worker.drain()
+                    if worker.error is not None:
+                        # never clobber the last good checkpoint with a
+                        # torn snapshot — the worker thread may have died
+                        # mid-cascade with streamer state half-mutated
+                        raise worker.error
                     apply_events()
                     self.save_checkpoint(conf.checkpoint_path, state,
                                          chunk_idx, dispatched_steps, path)

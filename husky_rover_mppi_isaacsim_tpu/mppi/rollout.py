@@ -198,6 +198,9 @@ def rollout_25d_pallas(
         raise ValueError("pallas rollout expects a single sample axis")
     K = batch[0]
     chunks = _as_chunks(hf, lin.shape[-1])
+    first = chunks[0][0]
+    if not isinstance(first, PatchField):
+        raise ValueError("pallas rollout requires patch fields")
     if not block_k:  # auto width (MPPIConfig.pallas_block_k = 0)
         kp = -(-K // 128) * 128
         max_p = max(getattr(f, "size", 0) or f.z3.shape[-1]
@@ -219,9 +222,6 @@ def rollout_25d_pallas(
     # don't pad tiny batches (the K=1 optimal rollout) up to a wide block
     block_k = min(-(-block_k // 128) * 128,
                   max(128, -(-K // 128) * 128))
-    first = chunks[0][0]
-    if not isinstance(first, PatchField):
-        raise ValueError("pallas rollout requires patch fields")
 
     pos = jnp.asarray(position, lin.dtype)
     hv = jnp.asarray(heading, lin.dtype)

@@ -74,56 +74,13 @@ def main():
                       for k, v in lstm.cascade_phase_acc.items()}),
           flush=True)
 
-    # the rest of LargeScaleClosedLoop.__init__ on a prebuilt lstm
-    class _Pre(LargeScaleClosedLoop):
-        def __init__(self, conf, lstm):
-            import dataclasses
-
-            from husky_rover_mppi_isaacsim_tpu.env import (
-                closed_loop,
-                frames,
-            )
-            import jax.numpy as jnp
-
-            self.conf = conf
-            self.lstm = lstm
-            streamer = lstm.map_manager.streamer
-            self.window_half = streamer.conf.window_size / 2.0
-            self.half_block = streamer.conf.block_size / 2.0
-            if conf.auto_engine and conf.loop.mppi.gather_engine == "direct":
-                cm_res = streamer.conf.window_size / conf.costmap_size
-                conf.loop = dataclasses.replace(
-                    conf.loop,
-                    mppi=conf.loop.mppi.auto_engine(
-                        streamer.conf.resolution, cm_res),
-                )
-            bx, by = lstm.get_hr_map_current_block_coordinates()
-            self.block_x, self.block_y = bx, by
-            self.frame = frames.BlockFrame(
-                block_x=jnp.asarray(bx, jnp.float32),
-                block_y=jnp.asarray(by, jnp.float32),
-                half_block=jnp.asarray(self.half_block, jnp.float32),
-            )
-            t0 = time.perf_counter()
-            self.hf = self._window_heightfield()
-            mark("window_heightfield", t0)
-            t0 = time.perf_counter()
-            self.costmap = self._build_costmap()
-            jax.block_until_ready(self.costmap.cost)
-            mark("first_costmap", t0)
-            self._step_fn = jax.jit(
-                closed_loop.closed_loop_step, static_argnums=0)
-            self.deform_engine = None
-            t0 = time.perf_counter()
-            self._chunk_fn = self._make_chunk_fn()
-            mark("chunk_fn_wrap", t0)
-            self._staged = None
-            self._prestage_thread = None
-            self.prestage_hits = 0
-            self.prestage_misses = 0
-            self.shift_phase_log = []
-
-    loop = _Pre(conf, lstm)
+    # the rest of LargeScaleClosedLoop.__init__ on the prebuilt lstm —
+    # the REAL constructor, phase-timed through its phase_cb hook
+    loop = LargeScaleClosedLoop(
+        conf, lstm=lstm,
+        phase_cb=lambda name, s: (
+            phases.__setitem__(name, round(s, 2)),
+            print(f"{name}: {s:.2f}s", flush=True)))
     phases["total_build"] = round(time.perf_counter() - t_all, 2)
     print("total_build:", phases["total_build"], flush=True)
 
