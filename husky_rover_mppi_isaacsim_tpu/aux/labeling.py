@@ -299,6 +299,42 @@ def camera_raycast(
     return hit_s, p[..., 0], p[..., 1], hit_mask
 
 
+def _rock_intersections(cam_pos, d_world, centers, radii, max_range):
+    """Nearest ray-sphere hit against half-buried rock impostors (spheres
+    centred on the ground surface — the camera pass's stand-in for the
+    reference's instanced rock meshes). ``d_world`` is the UNSCALED ray
+    direction from :func:`camera_raycast`, so the returned ``s`` is in the
+    same image-plane-depth parameter as the terrain march.
+
+    Returns ``(s, rock_id)`` per pixel — ``inf`` / ``0`` where no rock is
+    hit. One ``lax.scan`` iteration per rock keeps memory at O(H*W)."""
+    dt = d_world.dtype
+    a = jnp.sum(d_world * d_world, axis=-1)  # (H, W), > 0
+    ids = jnp.arange(1, radii.shape[0] + 1, dtype=dt)
+    rocks = jnp.concatenate(
+        [centers.astype(dt), radii[:, None].astype(dt), ids[:, None]],
+        axis=1)
+
+    def body(carry, rock):
+        best_s, best_id = carry
+        c, r, idx = rock[:3], rock[3], rock[4]
+        oc = cam_pos - c
+        b = 2.0 * jnp.einsum("hwi,i->hw", d_world, oc)
+        c0 = jnp.dot(oc, oc) - r * r
+        disc = b * b - 4.0 * a * c0
+        s_hit = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a)
+        valid = (disc > 0) & (s_hit > 0.05) & (s_hit <= max_range)
+        s_hit = jnp.where(valid, s_hit, jnp.inf)
+        better = s_hit < best_s
+        return (jnp.where(better, s_hit, best_s),
+                jnp.where(better, idx.astype(jnp.int32), best_id)), None
+
+    init = (jnp.full(a.shape, jnp.inf, dt),
+            jnp.zeros(a.shape, jnp.int32))
+    (s, rock_id), _ = jax.lax.scan(body, init, rocks)
+    return s, rock_id
+
+
 def render_camera_frame(
     z, resolution: float, origin, cam_pos, cam_R,
     intrinsics: CameraIntrinsics, sun_direction=(0.4, 0.2, 0.9),
@@ -324,20 +360,54 @@ def render_camera_frame(
     py = jnp.clip((hy - origin[1]) / resolution, 0, z.shape[1] - 1)
     rgb = jnp.where(hit, shade[px.astype(jnp.int32), py.astype(jnp.int32)],
                     0.0)
-    out = {"depth": depth, "rgb": rgb, "hit": hit}
     if rock_xy is not None and len(rock_xy):
-        rx = jnp.asarray(rock_xy)[:, 0]
-        ry = jnp.asarray(rock_xy)[:, 1]
-        rr = jnp.asarray(rock_radius)
-        d2 = ((hx[..., None] - rx) ** 2 + (hy[..., None] - ry) ** 2)
-        inside = d2 <= rr**2
+        # rocks occlude: analytic sphere impostors centred on the ground
+        # surface compete with the terrain march per ray, so depth / rgb /
+        # semantic / instance are all pose-consistent (the reference's
+        # instanced rock meshes occlude in its RTX renders)
+        from ..terrain.upsample import bilinear_point_sample
+
+        rx = jnp.asarray(rock_xy, z.dtype)[:, 0]
+        ry = jnp.asarray(rock_xy, z.dtype)[:, 1]
+        rr = jnp.asarray(rock_radius, z.dtype)
+        gz = bilinear_point_sample(
+            z, (rx - origin[0]) / resolution, (ry - origin[1]) / resolution)
+        centers = jnp.stack([rx, ry, gz], axis=-1)
+        # recompute the unscaled ray directions the raycast marched
+        u = (jnp.arange(intrinsics.width, dtype=z.dtype) - intrinsics.cx) \
+            / intrinsics.fx
+        v = (jnp.arange(intrinsics.height, dtype=z.dtype) - intrinsics.cy) \
+            / intrinsics.fy
+        d_cam = jnp.stack([
+            jnp.broadcast_to(u[None, :], (intrinsics.height,
+                                          intrinsics.width)),
+            jnp.broadcast_to(v[:, None], (intrinsics.height,
+                                          intrinsics.width)),
+            jnp.ones((intrinsics.height, intrinsics.width), z.dtype),
+        ], axis=-1)
+        d_world = jnp.einsum(
+            "ij,hwj->hwi", jnp.asarray(cam_R, z.dtype), d_cam)
+        cam_p = jnp.asarray(cam_pos, z.dtype)
+        s_rock, rock_id = _rock_intersections(
+            cam_p, d_world, centers, rr, jnp.asarray(max_range, z.dtype))
+        rock_hit = s_rock < depth          # wins where nearer than terrain
+        depth = jnp.where(rock_hit, s_rock, depth)
+        hit = jnp.logical_or(hit, rock_hit)
+        # Lambertian sphere shading from the surface normal at the hit
+        p_hit = cam_p[None, None, :] + d_world * jnp.where(
+            rock_hit, s_rock, 0.0)[..., None]
+        idx = jnp.clip(rock_id - 1, 0, rr.shape[0] - 1)
+        n = (p_hit - centers[idx]) / rr[idx][..., None]
+        sun = jnp.asarray(sun_direction, z.dtype)
+        sun = sun / jnp.linalg.norm(sun)
+        rock_shade = jnp.clip(jnp.einsum("hwi,i->hw", n, sun), 0.0, 1.0)
+        rgb = jnp.where(rock_hit, rock_shade, rgb)
+        out = {"depth": depth, "rgb": rgb, "hit": hit}
         out["semantic"] = jnp.where(
-            hit, jnp.where(jnp.any(inside, -1), 2, 1), 0).astype(jnp.int32)
-        ids = jnp.arange(1, rx.shape[0] + 1)
-        out["instance"] = jnp.where(
-            hit, jnp.max(jnp.where(inside, ids, 0), axis=-1), 0
-        ).astype(jnp.int32)
+            rock_hit, 2, jnp.where(hit, 1, 0)).astype(jnp.int32)
+        out["instance"] = jnp.where(rock_hit, rock_id, 0).astype(jnp.int32)
     else:
+        out = {"depth": depth, "rgb": rgb, "hit": hit}
         out["semantic"] = jnp.where(hit, 1, 0).astype(jnp.int32)
         out["instance"] = jnp.zeros_like(out["semantic"])
     return out

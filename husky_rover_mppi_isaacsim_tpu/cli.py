@@ -240,17 +240,40 @@ def run_sdg(tree) -> dict:
         cam_cfg = {}
     elif not isinstance(cam_cfg, dict):
         cam_cfg = None  # false / absent / anything non-mapping disables it
+    # Per-frame rock scatter (the reference's lunalab/lunaryard SDG
+    # randomizes + labels rocks each capture, auto_label.py +
+    # rock_manager): hardcore-Poisson positions on the fresh DEM, labeled
+    # in the top-down masks and occluding in the camera pass.
+    # `sdg.rocks: false` disables; density/r_min/r_max override.
+    rock_cfg = sdg.get("rocks", {})
+    if rock_cfg is True:
+        rock_cfg = {}
+    elif not isinstance(rock_cfg, dict):
+        rock_cfg = None
     rng = _np.random.default_rng(int(tree.get("seed", 42)))
     res = gen.conf.base.resolution
     for _ in range(conf.num_images):
         dem = gen.randomize()
+        rock_xy = rock_r = None
+        if rock_cfg is not None:
+            from .terrain.point_process import BoundingBox, hardcore_poisson
+
+            yard = BoundingBox(0.0, gen.conf.base.x_size,
+                               0.0, gen.conf.base.y_size)
+            rock_xy, rock_r = hardcore_poisson(
+                rng, yard,
+                (float(rock_cfg.get("density", 0.08)),),
+                ((float(rock_cfg.get("r_min", 0.08)),
+                  float(rock_cfg.get("r_max", 0.4))),),
+            )
         # randomized sun between captures (stellar-driven in the reference)
         az = rng.uniform(0, 2 * _np.pi)
         el = rng.uniform(_np.deg2rad(10), _np.deg2rad(60))
         sun = (float(_np.cos(el) * _np.cos(az)),
                float(_np.cos(el) * _np.sin(az)), float(_np.sin(el)))
         frame_id = labeler.frame  # camera products join this capture's id
-        labeler.record(dem, res, sun_direction=sun)
+        labeler.record(dem, res, sun_direction=sun,
+                       rock_xy=rock_xy, rock_radius=rock_r)
         if cam_cfg is not None:
             from .aux.labeling import CameraIntrinsics
 
@@ -267,6 +290,7 @@ def run_sdg(tree) -> dict:
                 dem_np, res, (0.0, 0.0), (px, py),
                 (float(_np.cos(yaw)), float(_np.sin(yaw))), gz,
                 intrinsics=intr, sun_direction=sun,
+                rock_xy=rock_xy, rock_radius=rock_r,
                 mount_height=float(cam_cfg.get("mount_height", 0.8)),
                 pitch_deg=float(cam_cfg.get("pitch_deg", 15.0)),
                 steps=int(cam_cfg.get("steps", 128)),

@@ -226,3 +226,44 @@ def test_hillshade_cast_shadows_darken_crater_floor():
     img_low = np.asarray(hillshade_shadowed(jnp.asarray(z), res, low_sun))
     img_high = np.asarray(hillshade_shadowed(jnp.asarray(z), res, high_sun))
     assert img_low[floor].mean() < img_high[floor].mean()
+
+
+def test_camera_rocks_occlude_terrain():
+    """Rock impostors OCCLUDE: where the camera sees a rock, depth is
+    strictly nearer than the rock-free terrain render at the same pixels,
+    the analytic sphere depth matches, and instance ids follow the rock."""
+    from husky_rover_mppi_isaacsim_tpu.aux.labeling import (
+        CameraIntrinsics,
+        camera_pose_from_rover,
+        render_camera_frame,
+    )
+
+    z = np.zeros((200, 200), np.float32)  # flat plane, 0.25 m/px
+    res, origin = 0.25, (-25.0, -25.0)
+    intr = CameraIntrinsics(width=64, height=48)
+    cam_pos, cam_R = camera_pose_from_rover(
+        (0.0, 0.0), (1.0, 0.0), 0.0, mount_height=0.8, pitch_deg=10.0)
+    common = dict(resolution=res, origin=origin, cam_pos=cam_pos,
+                  cam_R=cam_R, intrinsics=intr, steps=512, max_range=30.0)
+    bare = render_camera_frame(z, **common)
+    rocky = render_camera_frame(
+        z, rock_xy=np.array([[4.0, 0.0], [8.0, 1.0]]),
+        rock_radius=np.array([0.6, 0.9]), **common)
+    sem = np.asarray(rocky["semantic"])
+    d_bare = np.asarray(bare["depth"])
+    d_rock = np.asarray(rocky["depth"])
+    inst = np.asarray(rocky["instance"])
+    rock_px = sem == 2
+    assert rock_px.sum() > 20, "rocks not visible"
+    # occlusion: every rock pixel is strictly nearer than the terrain-only
+    # render there (sphere tops sit above the ground intersection)
+    assert (d_rock[rock_px] < d_bare[rock_px] - 1e-3).all()
+    # the near rock's closest pixel is at ~|cam->sphere| - r, along the ray
+    c = np.array([4.0, 0.0, 0.0])
+    closest = np.linalg.norm(c - cam_pos) - 0.6
+    assert d_rock[inst == 1].min() == pytest.approx(closest, rel=0.05)
+    # both rocks label distinct instances, and the far rock is farther
+    assert set(np.unique(inst[rock_px])) == {1, 2}
+    assert d_rock[inst == 2].min() > d_rock[inst == 1].min()
+    # depth, semantic and instance agree: no rock id outside rock semantics
+    assert (inst[~rock_px] == 0).all()

@@ -106,6 +106,23 @@ def test_cli_sdg_and_closed_loop(tmp_path, monkeypatch):
     assert any(n.startswith("cam_depth") for n in names)
     assert any(n.startswith("camera_") and n.endswith(".json")
                for n in names)
+    # camera products join the top-down capture's frame id (one id per
+    # capture) and the default rock scatter labels rocks in both passes
+    assert "cam_depth_00000.npy" in names and "semantic_00000.npy" in names
+    import numpy as _np
+
+    assert (_np.load(run_dir / "semantic_00000.npy") == 2).any(), \
+        "top-down semantic mask lost the rock scatter"
+
+    # sdg.rocks=false disables the scatter; sdg.camera=false disables the
+    # camera pass without crashing
+    rc = main(["mode=sdg", "sdg.num_images=1", "sdg.rocks=false",
+               "sdg.camera=false", f"sdg.data_dir={tmp_path}/sdg_bare"])
+    assert rc == 0
+    bare_dir = next(pathlib.Path(f"{tmp_path}/sdg_bare").iterdir())
+    bare = [f.name for f in bare_dir.iterdir()]
+    assert not any(n.startswith("cam_") for n in bare)
+    assert not (_np.load(bare_dir / "semantic_00000.npy") == 2).any()
 
     rc = main([
         "mode=closed_loop", "num_rovers=2", "steps=12",
