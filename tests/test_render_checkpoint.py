@@ -182,3 +182,16 @@ def test_cli_rendering_group_drives_sdg_postfx(tmp_path, capsys):
     )
     assert plain.shape == fx.shape
     assert not np.allclose(plain, fx)
+
+
+def test_checkpoint_path_without_npz_suffix_roundtrips(tmp_path):
+    """np.savez silently appends .npz; save and resume must agree on the
+    file for a bare `checkpoint: {path: traverse.ckpt}` config."""
+    state = {"a": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    bare = tmp_path / "traverse.ckpt"
+    checkpoint.save(bare, state, {"step": 3})
+    assert checkpoint.load_metadata(bare) == {"step": 3}
+    restored, meta = checkpoint.restore(
+        bare, {"a": jnp.zeros(4), "b": jnp.zeros((2, 2))})
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(4.0))
+    assert meta == {"step": 3}
