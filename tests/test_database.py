@@ -180,6 +180,9 @@ def test_region_sampling_hardcore_against_neighbors(streamer):
 
 
 def test_streamer_crater_db_persistence(streamer, tmp_path):
+    # crater blocks build lazily since the read-only-window change —
+    # populate a span first so persistence has real payload to carry
+    streamer.sample_craters_by_region(-2, 2, -2, 2)
     streamer.save_crater_db(str(tmp_path / "craters"))
     from husky_rover_mppi_isaacsim_tpu.terrain.streaming import (
         StreamerConf, TerrainStreamer)
