@@ -65,10 +65,21 @@ def _local_step(config: MPPIConfig, hf, costmap, goal, robot, ctrl, noise, axis)
         u1, u2, robot.left_wheel_speed, robot.right_wheel_speed, track,
         config.limits, k_r, a_r,
     )
-    r = ro.rollout_25d(hf, robot.position, robot.heading, lin, ang, config.dt)
+    # Same projection / critic dispatch as mppi_step (controller.py:394-407)
+    # — the sharded step must not silently diverge from the validated
+    # single-device math for non-default configs.
+    if config.projection == "2d":
+        traj, _ = ro.rollout_2d(
+            hf, robot.position, robot.heading, lin, ang, config.dt)
+        lw = rw = traj
+    else:
+        r = ro.rollout_25d(
+            hf, robot.position, robot.heading, lin, ang, config.dt)
+        traj, lw, rw = r.trajectory, r.left_wheel, r.right_wheel
+        if config.slope_critic == "body":
+            lw = rw = traj
     costs = crit.evaluate_trajectories(
-        robot.position[0], robot.position[1], goal, r.trajectory,
-        r.left_wheel, r.right_wheel, lin,
+        robot.position[0], robot.position[1], goal, traj, lw, rw, lin,
         jnp.asarray(config.limits.v_max, noise.dtype), costmap, horizon_m,
         config.critic_weights,
     )
@@ -91,11 +102,12 @@ def _local_step(config: MPPIConfig, hf, costmap, goal, robot, ctrl, noise, axis)
         config.dt,
     )
 
+    b = config.sigma_base
     new_ctrl = ControllerState(
         optimal_u1=opt_u1,
         optimal_u2=opt_u2,
-        std_u1=jnp.maximum(0.4, 0.4 - opt_ang[0] * opt_ang[0]),
-        std_u2=jnp.maximum(0.4, 0.4 + opt_ang[0] * opt_ang[0]),
+        std_u1=jnp.maximum(b, b - opt_ang[0] * opt_ang[0]),
+        std_u2=jnp.maximum(b, b + opt_ang[0] * opt_ang[0]),
     )
     out = StepOutput(
         linear_velocity=opt_lin[0],
@@ -106,7 +118,7 @@ def _local_step(config: MPPIConfig, hf, costmap, goal, robot, ctrl, noise, axis)
         optimal_angular=opt_ang,
         costs=costs,
         weights=weights,
-        rollouts=None,
+        rollouts=traj if config.return_rollouts else None,
     )
     return new_ctrl, out
 
@@ -141,7 +153,8 @@ def sharded_mppi_step(
             ControllerState(spec_rep, spec_rep, spec_rep, spec_rep),
             StepOutput(
                 spec_rep, spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
-                P(axis), P(axis), None,
+                P(axis), P(axis),
+                P(axis) if config.return_rollouts else None,
             ),
         ),
         check_vma=False,

@@ -83,7 +83,8 @@ def sharded_multi_rover_step(
 
     out_step_spec = StepOutput(
         P("rover"), P("rover"), P("rover"), P("rover"), P("rover"),
-        P("rover"), P("rover", "sample"), P("rover", "sample"), None,
+        P("rover"), P("rover", "sample"), P("rover", "sample"),
+        P("rover", "sample") if config.return_rollouts else None,
     )
     mapped = jax.shard_map(
         body,

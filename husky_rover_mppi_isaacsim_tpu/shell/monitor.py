@@ -32,6 +32,7 @@ class ThreadMonitor:
         self._sigint = threading.Event()
         self._main = threading.main_thread()
         self._thread: Optional[threading.Thread] = None
+        self._prev_handler = None
         if install_sigint:
             self._prev_handler = signal.getsignal(signal.SIGINT)
             signal.signal(signal.SIGINT, self._on_sigint)
@@ -85,5 +86,14 @@ class ThreadMonitor:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=self.poll_s * 3)
+        if self._prev_handler is not None:
+            # restore Ctrl-C: a stopped monitor no longer polls the flag,
+            # so keeping our handler would swallow SIGINT forever
+            try:
+                if signal.getsignal(signal.SIGINT) == self._on_sigint:
+                    signal.signal(signal.SIGINT, self._prev_handler)
+            except ValueError:
+                pass  # not the main thread — leave the handler in place
+            self._prev_handler = None
         if run_shutdowns:
             self.fire()

@@ -63,3 +63,8 @@ class MessageBus:
 
     def topics(self) -> List[str]:
         return sorted(self._subs)
+
+    def has_subscribers(self, topic: str) -> bool:
+        """Publishers with expensive payloads (device fetches) guard on
+        this to skip materialization when nobody listens."""
+        return bool(self._subs.get(topic))

@@ -107,14 +107,17 @@ class SimulationManager:
         self._key, sub = jax.random.split(self._key)
         self.state = self._step(self.hf, self.costmap, self.goals, self.state, sub)
         self.step_count += 1
-        self.bus.publish(
-            Topics.POSE_STATE,
-            {
-                "step": self.step_count,
-                "positions": np.asarray(self.state.rovers.position),
-                "headings": np.asarray(self.state.rovers.heading),
-            },
-        )
+        if self.bus.has_subscribers(Topics.POSE_STATE):
+            # np.asarray forces a blocking device->host fetch; only pay it
+            # when someone is actually listening (keeps the hot loop async)
+            self.bus.publish(
+                Topics.POSE_STATE,
+                {
+                    "step": self.step_count,
+                    "positions": np.asarray(self.state.rovers.position),
+                    "headings": np.asarray(self.state.rovers.heading),
+                },
+            )
         self.apply_modifications()
         if self.deform_hook is not None:
             self.state = self.deform_hook(self.state)

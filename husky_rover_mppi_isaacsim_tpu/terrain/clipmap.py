@@ -146,9 +146,15 @@ class Clipmap:
         ys = self._offsets[:, 1] + cy
         z = jnp.zeros(xs.shape[0], jnp.float32)
         for lod, level in enumerate(self.pyramid):
-            res = self.source_resolution * (2**lod)
-            px = (xs - self.origin[0]) / res
-            py = (ys - self.origin[1]) / res
+            scale = 2**lod
+            res = self.source_resolution * scale
+            # 2x average pooling puts level-L pixel p's center at source
+            # pixel 2^L*p + (2^L-1)/2 — subtract that half-kernel shift or
+            # every coarse ring reads systematically southwest of its
+            # vertices (visible LOD-boundary steps on slopes)
+            shift = (scale - 1) / 2.0 * self.source_resolution
+            px = (xs - self.origin[0] - shift) / res
+            py = (ys - self.origin[1] - shift) / res
             vals = sampler(level, px, py)
             z = jnp.where(self._lods == lod, vals, z)
         return jnp.stack([xs, ys, z], axis=-1)

@@ -164,10 +164,15 @@ class BlockDB:
         self._autosave()
 
     def get(self, key: BlockKey) -> Dict[str, np.ndarray]:
-        return self._unpack(self._blocks[tuple(key)])
+        key = tuple(key)
+        packed = self._blocks.pop(key)  # LRU refresh: reinsert as newest
+        self._blocks[key] = packed
+        return self._unpack(packed)
 
-    def keys(self) -> Iterable[BlockKey]:
-        return self._blocks.keys()
+    def keys(self) -> List[BlockKey]:
+        # snapshot, not a view: get() reorders the dict for LRU recency,
+        # which would fault `for k in db.keys(): db.get(k)` loops
+        return list(self._blocks.keys())
 
     def get_with_neighbors(self, key: BlockKey) -> List[Dict[str, np.ndarray]]:
         """Payloads of a block and its 8 neighbors, present ones only
@@ -217,6 +222,8 @@ class BlockDB:
     # -- persistence -----------------------------------------------------------------
 
     def _autosave(self) -> None:
+        if getattr(self, "_loading", False):
+            return
         if not self.conf.save_to_disk or self.conf.folder is None:
             return
         self._since_save += 1
@@ -229,7 +236,9 @@ class BlockDB:
         os.makedirs(folder, exist_ok=True)
         arrays = {}
         index = []
-        for i, key in enumerate(self._blocks):
+        # list() copy: get() reorders the dict for LRU recency, which would
+        # otherwise fault the live-dict iteration
+        for i, key in enumerate(list(self._blocks)):
             payload = self.get(key)
             fields = {}
             for name, arr in payload.items():
@@ -247,11 +256,20 @@ class BlockDB:
     def load_from_disk(self, folder: str) -> None:
         with open(os.path.join(folder, "index.json")) as f:
             index = json.load(f)
-        arrays = np.load(os.path.join(folder, "blocks.npz"))
-        for entry in index["blocks"]:
-            payload = {
-                name: arrays[arr_key]
-                for name, arr_key in entry["fields"].items()
-            }
-            self.add(tuple(entry["key"]), payload)
+        # materialize every array BEFORE inserting: add() can trigger an
+        # autosave that rewrites blocks.npz while the lazy NpzFile handle
+        # is still reading from it (truncating the source mid-load)
+        with np.load(os.path.join(folder, "blocks.npz")) as arrays:
+            loaded = [
+                (tuple(entry["key"]),
+                 {name: np.array(arrays[arr_key])
+                  for name, arr_key in entry["fields"].items()})
+                for entry in index["blocks"]
+            ]
+        self._loading = True  # no autosaves during the bulk insert
+        try:
+            for key, payload in loaded:
+                self.add(key, payload)
+        finally:
+            self._loading = False
         self._since_save = 0

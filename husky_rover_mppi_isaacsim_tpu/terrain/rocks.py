@@ -335,10 +335,11 @@ class RockSampler:
     def _batched_query(self, xy: np.ndarray, blk: np.ndarray,
                        idx: np.ndarray):
         """Dispatch ONE fused surface query for a rock batch (padded to a
-        512 bucket; pad rows carry block (0,0)/index 0 and are sliced off,
-        so padding never changes real rows)."""
+        256 bucket for small batches, 512-multiples beyond; pad rows carry
+        block (0,0)/index 0 and are sliced off, so padding never changes
+        real rows)."""
         n = xy.shape[0]
-        bucket = max(256, -(-n // 512) * 512)
+        bucket = 256 if n <= 256 else -(-n // 512) * 512
         dtype = (self.hf.z.dtype if isinstance(self.hf, HeightField)
                  else np.float32)
         xy_p = np.zeros((bucket, 2), dtype)

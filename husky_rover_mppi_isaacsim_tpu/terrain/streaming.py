@@ -53,8 +53,10 @@ def _window_normal(window: Array, px: Array, py: Array, res) -> Array:
     q01 = window[i, j + 1]
     q10 = window[i + 1, j]
     q11 = window[i + 1, j + 1]
-    vx = -res / 2.0 * (q01 - q00 - q10 + q11)
-    vy = -res / 2.0 * (q10 - q00 - q01 + q11)
+    # window layout is [row = x, col = y]: dz/dx differences run along i
+    # (q10/q11 minus q00/q01), dz/dy along j — n ∝ (-dz/dx, -dz/dy, 1)
+    vx = -res / 2.0 * (q10 - q00 - q01 + q11)
+    vy = -res / 2.0 * (q01 - q00 - q10 + q11)
     vz = res * res * jnp.ones_like(vx)
     v = jnp.stack([vx, vy, vz], axis=-1)
     return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
@@ -412,10 +414,13 @@ class TerrainStreamer:
         lr_px = int(round(self.conf.block_size / self.conf.lr_resolution))
         margin = 2
         h, w = self.lr_dem.shape
-        cx = self.lr_center
-        # LR pixel of the block's SW corner
-        px = int(round(bx * self.conf.block_size / self.conf.lr_resolution)) + h // 2
-        py = int(round(by * self.conf.block_size / self.conf.lr_resolution)) + w // 2
+        cx, cy = self.lr_center
+        # LR pixel of the block's SW corner, relative to the LR DEM's
+        # world-center anchor
+        px = int(round((bx * self.conf.block_size - cx)
+                       / self.conf.lr_resolution)) + h // 2
+        py = int(round((by * self.conf.block_size - cy)
+                       / self.conf.lr_resolution)) + w // 2
         xs = np.clip(np.arange(px - margin, px + lr_px + margin), 0, h - 1)
         ys = np.clip(np.arange(py - margin, py + lr_px + margin), 0, w - 1)
         return self.lr_dem[jnp.asarray(xs)][:, jnp.asarray(ys)]
@@ -657,6 +662,12 @@ class TerrainStreamer:
         if dj:
             col = a[1] + (side if dj > 0 else -1)
             band += [(a[0] + i, col) for i in range(side)]
+        if di and dj:
+            # diagonal travel also needs the corner block where the two
+            # bands intersect, or the next diagonal crossing builds it
+            # synchronously inside update()
+            band.append((a[0] + (side if di > 0 else -1),
+                         a[1] + (side if dj > 0 else -1)))
         self.bulk_build(band)
 
     # --- queries ------------------------------------------------------------

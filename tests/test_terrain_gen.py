@@ -455,3 +455,22 @@ def test_hardcore_binned_matches_dense(rng):
     b = pp.reject_inside_previous(nc, nr, prev)
     np.testing.assert_array_equal(nc[keep], b[0])
     np.testing.assert_array_equal(nr[keep], b[1])
+
+
+def test_window_normal_horizontal_components_follow_slope():
+    """Regression: the window quad normal must tilt AGAINST the gradient in
+    the matching world axis — a +x slope gives nx < 0 with ny = 0 (the
+    [row = x, col = y] window layout; components were once swapped)."""
+    from husky_rover_mppi_isaacsim_tpu.terrain.streaming import _window_normal
+
+    xs = np.arange(16, dtype=np.float32)
+    x_slope = jnp.asarray(xs[:, None] * np.ones((1, 16), np.float32))
+    n = np.asarray(_window_normal(x_slope, jnp.asarray([7.5]),
+                                  jnp.asarray([7.5]), 1.0))[0]
+    np.testing.assert_allclose(n, [-np.sqrt(0.5), 0.0, np.sqrt(0.5)],
+                               atol=1e-6)
+    y_slope = jnp.asarray(np.ones((16, 1), np.float32) * xs[None, :])
+    n = np.asarray(_window_normal(y_slope, jnp.asarray([7.5]),
+                                  jnp.asarray([7.5]), 1.0))[0]
+    np.testing.assert_allclose(n, [0.0, -np.sqrt(0.5), np.sqrt(0.5)],
+                               atol=1e-6)
