@@ -113,11 +113,17 @@ def wheel_lag_matmul(
     dt = u1.dtype
     lag = _lag_matrix(horizon, k, a, dtype=dt)
     decay = a ** jnp.arange(1, horizon + 1, dtype=dt)
+    # precision=HIGHEST: the TPU default lowers f32 einsums to one-pass
+    # bf16, which would inject ~0.4% error into every commanded wheel
+    # velocity — far beyond the documented summation-order delta vs
+    # wheel_lag_scan (same contract as core/patch.py)
     wl = jnp.asarray(left0, dt)[..., None] * decay + jnp.einsum(
-        "...s,ts->...t", u1, lag, preferred_element_type=dt
+        "...s,ts->...t", u1, lag, preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST,
     )
     wr = jnp.asarray(right0, dt)[..., None] * decay + jnp.einsum(
-        "...s,ts->...t", u2, lag, preferred_element_type=dt
+        "...s,ts->...t", u2, lag, preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return _to_velocities(wl, wr, track, limits)
 

@@ -502,7 +502,23 @@ def goal_seek(
     evaluation + carry round-trip; measured ~43% at unroll=1, BENCH_r02)
     amortizes over ``unroll`` steps. At most ``unroll - 1`` wasted masked
     steps per episode."""
+    robot, ctrl, loops, halt, _, _ = _goal_seek_loop(
+        config, hf, costmap, goal, robot, ctrl, key, max_loops, unroll,
+        record=False)
+    return GoalSeekResult(robot=robot, ctrl=ctrl, loops=loops, reached=halt)
+
+
+def _goal_seek_loop(config, hf, costmap, goal, robot, ctrl, key,
+                    max_loops, unroll, record):
+    """Shared masked-unroll ``lax.while_loop`` body of :func:`goal_seek`
+    and :func:`goal_seek_recorded` — ONE implementation so the stop-box,
+    masking and unroll semantics cannot diverge between the benchmark and
+    evaluation paths. ``record`` (Python-static) adds the fixed-size
+    position/velocity buffers; the bare variant carries empty buffers and
+    compiles without the writes."""
     dtype = robot.position.dtype
+    bp = jnp.zeros((max_loops + 1 if record else 0, 3), dtype)
+    bv = jnp.zeros((max_loops + 1 if record else 0,), dtype)
 
     def reached_now(r):
         dx = jnp.abs(r.position[0] - goal[0])
@@ -510,11 +526,11 @@ def goal_seek(
         return jnp.logical_and(dx <= 0.5, dy <= 0.5)
 
     def cond(carry):
-        _, _, _, loop, halt = carry
+        _, _, _, loop, halt, _, _ = carry
         return jnp.logical_and(jnp.logical_not(halt), loop < max_loops)
 
     def body(carry):
-        robot, ctrl, key, loop, halt = carry
+        robot, ctrl, key, loop, halt, bp, bv = carry
         for _ in range(unroll):
             active = jnp.logical_and(
                 jnp.logical_not(halt), loop < max_loops)
@@ -527,14 +543,19 @@ def goal_seek(
             keep = lambda new, old: jnp.where(active, new, old)
             robot = jax.tree.map(keep, robot2, robot)
             ctrl = jax.tree.map(keep, ctrl2, ctrl)
+            if record:
+                bp = bp.at[loop].set(
+                    jnp.concatenate([robot.position, robot.z[None]]))
+                bv = bv.at[loop].set(
+                    jnp.where(active, out.linear_velocity, bv[loop]))
             loop = loop + active.astype(jnp.int32)
             halt = reached_now(robot)
-        return (robot, ctrl, key, loop, halt)
+        return (robot, ctrl, key, loop, halt, bp, bv)
 
     loop0 = jnp.asarray(0, jnp.int32)
-    robot, ctrl, key, loops, halt = jax.lax.while_loop(
-        cond, body, (robot, ctrl, key, loop0, reached_now(robot)))
-    return GoalSeekResult(robot=robot, ctrl=ctrl, loops=loops, reached=halt)
+    robot, ctrl, key, loops, halt, bp, bv = jax.lax.while_loop(
+        cond, body, (robot, ctrl, key, loop0, reached_now(robot), bp, bv))
+    return robot, ctrl, loops, halt, bp, bv
 
 
 class GoalSeekTrace(NamedTuple):
@@ -566,46 +587,9 @@ def goal_seek_recorded(
     runs with zero host syncs. Body is masked-unrolled like
     :func:`goal_seek`; after the stop box is hit, frozen sub-steps rewrite
     index ``loops`` with the frozen state (consumers slice ``[:loops]``)."""
-    dtype = robot.position.dtype
-    buf_pos = jnp.zeros((max_loops + 1, 3), dtype)
-    buf_vel = jnp.zeros((max_loops + 1,), dtype)
-
-    def reached_now(r):
-        dx = jnp.abs(r.position[0] - goal[0])
-        dy = jnp.abs(r.position[1] - goal[1])
-        return jnp.logical_and(dx <= 0.5, dy <= 0.5)
-
-    def cond(carry):
-        _, _, _, loop, halt, _, _ = carry
-        return jnp.logical_and(jnp.logical_not(halt), loop < max_loops)
-
-    def body(carry):
-        robot, ctrl, key, loop, halt, bp, bv = carry
-        for _ in range(unroll):
-            active = jnp.logical_and(
-                jnp.logical_not(halt), loop < max_loops)
-            key, sub = jax.random.split(key)
-            noise = sample_noise(
-                sub, config.num_samples, config.horizon, dtype)
-            ctrl2, out = mppi_step(
-                config, hf, costmap, goal, robot, ctrl, noise)
-            robot2 = kinematic_advance(config, robot, out)
-            keep = lambda new, old: jnp.where(active, new, old)
-            robot = jax.tree.map(keep, robot2, robot)
-            ctrl = jax.tree.map(keep, ctrl2, ctrl)
-            bp = bp.at[loop].set(
-                jnp.concatenate([robot.position, robot.z[None]]))
-            bv = bv.at[loop].set(
-                jnp.where(active, out.linear_velocity, bv[loop]))
-            loop = loop + active.astype(jnp.int32)
-            halt = reached_now(robot)
-        return (robot, ctrl, key, loop, halt, bp, bv)
-
-    loop0 = jnp.asarray(0, jnp.int32)
-    robot, ctrl, key, loops, halt, buf_pos, buf_vel = jax.lax.while_loop(
-        cond, body,
-        (robot, ctrl, key, loop0, reached_now(robot), buf_pos, buf_vel),
-    )
+    robot, ctrl, loops, halt, buf_pos, buf_vel = _goal_seek_loop(
+        config, hf, costmap, goal, robot, ctrl, key, max_loops, unroll,
+        record=True)
     return GoalSeekTrace(
         robot=robot, ctrl=ctrl, loops=loops, reached=halt,
         positions=buf_pos[:max_loops], velocities=buf_vel[:max_loops],
@@ -626,7 +610,11 @@ class MPPIController:
         goal_xy,
         seed: int = 42,
     ):
-        if config.gather_engine == "onehot":
+        if config.gather_engine in ("onehot", "pallas"):
+            # both patch engines clamp lookups to the patch edge — validate
+            # coverage here while the field resolutions are still concrete
+            # (inside the jitted step they are traced and the check can
+            # only run from static config hints)
             _check_patch_coverage(config, hf.resolution, costmap.resolution)
         self.config = config
         self.hf = hf

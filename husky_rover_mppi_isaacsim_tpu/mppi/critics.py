@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -240,6 +241,11 @@ def weighted_update(weights: Array, u1: Array, u2: Array) -> tuple[Array, Array]
     (critics_warp.py:350-376). On TPU this is a (1,K)@(K,H) reduction —
     under a sharded sample axis it becomes a single ``psum``."""
     total = jnp.sum(weights, axis=-1)
-    opt1 = jnp.einsum("...k,...kh->...h", weights, u1) / total[..., None]
-    opt2 = jnp.einsum("...k,...kh->...h", weights, u2) / total[..., None]
+    # precision=HIGHEST: the TPU default would round weights/inputs to
+    # bf16 in the reduction, drifting opt_u from the oracle every loop
+    hi = jax.lax.Precision.HIGHEST
+    opt1 = jnp.einsum("...k,...kh->...h", weights, u1,
+                      precision=hi) / total[..., None]
+    opt2 = jnp.einsum("...k,...kh->...h", weights, u2,
+                      precision=hi) / total[..., None]
     return opt1, opt2

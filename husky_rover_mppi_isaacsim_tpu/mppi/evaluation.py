@@ -101,15 +101,14 @@ def rescore_trajectory(
 
 def count_collisions(log: TrajectoryLog, costmap: Costmap,
                      threshold: float = 0.99) -> int:
-    """Waypoints inside collision cells (evaluate_trajectory.py:104-110)."""
+    """Waypoints inside collision cells (evaluate_trajectory.py:104-110).
+
+    Uses the ONLINE critic's cell mapping (:func:`..mppi.critics
+    .costmap_cells` + the same gather semantics) so offline collision
+    verdicts can never disagree with the cells the controller penalized."""
     traj = jnp.asarray(log.trajectory)
-    ix = jnp.trunc((traj[:, 0] + costmap.half_width) / costmap.resolution)
-    iy = jnp.trunc((-traj[:, 1] + costmap.half_width) / costmap.resolution)
-    size = costmap.size
-    cells = costmap.cost[
-        jnp.clip(iy.astype(jnp.int32), 0, size - 1),
-        jnp.clip(ix.astype(jnp.int32), 0, size - 1),
-    ]
+    ix, iy = crit.costmap_cells(traj, costmap)
+    cells = costmap.cost[iy, ix]
     return int(jnp.sum(cells > threshold))
 
 
@@ -207,7 +206,8 @@ def thesis_rescore(log: TrajectoryLog, costmap: Costmap,
         + np.sum(cells > 0.95) * 1e6
     )
     return {
-        "distance": path_length(log.trajectory),
+        # same first-waypoint-dropped population as every other critic
+        "distance": path_length(traj),
         "speed": speed,
         "slope": slope,
         "obstacle": obstacle,
@@ -321,7 +321,10 @@ def run_2d_vs_3d_experiment(
                     goal=tuple(goal),
                 )
                 with jax.default_device(cpu):
-                    arm_scores[proj].append(rescore_trajectory(log, cm_host))
+                    # re-score against the SAME horizon the controller
+                    # optimized, not rescore_trajectory's 9 m default
+                    arm_scores[proj].append(rescore_trajectory(
+                        log, cm_host, horizon_m=float(config.horizon_m)))
                     arm_collisions[proj] += count_collisions(log, cm_host)
                 arm_reached[proj] += int(trace.reached)
             print(f"[eval] K={k} {proj}: {len(pairs)} runs in "
@@ -466,11 +469,18 @@ def run_thesis_protocol_experiment(
                 )
                 loops = int(trace.loops)
                 reached = bool(trace.reached)
+                pts = np.asarray(trace.positions)[:max(loops, 2)]
+                vels_arr = np.asarray(trace.velocities)[:max(loops, 2)]
+                # The reference CSVs log the start pose as row 0 and the
+                # rescorer drops it (trajectories[1:]); the trace buffer
+                # records only driven waypoints, so prepend the start row
+                # to keep thesis_rescore's [1:] from eating a real one.
+                pts = np.vstack([[start[0], start[1], pts[0, 2]], pts])
+                vels_arr = np.concatenate([vels_arr[:1], vels_arr])
                 log = TrajectoryLog(
                     step=run_idx,
-                    trajectory=np.asarray(trace.positions)[:max(loops, 2)],
-                    linear_velocities=np.asarray(
-                        trace.velocities)[:max(loops, 2)],
+                    trajectory=pts,
+                    linear_velocities=vels_arr,
                     start=tuple(start), goal=tuple(goal),
                 )
                 loops_list.append(loops)
@@ -507,8 +517,10 @@ def run_thesis_protocol_experiment(
             for p in ("2d", "3d"):
                 vals = [s[critic] for s in per_arm[p]["scores"]]
                 row[p] = float(np.mean(trim_greatest(vals))) if vals else None
-            if row["2d"] and row["3d"]:
-                # stats_results.py convention: positive = 3D better
+            if row["2d"] is not None and row["3d"]:
+                # stats_results.py convention: positive = 3D better.
+                # `is not None` for the numerator: a legitimate 0.0 trimmed
+                # mean (clean obstacle arm) must not drop the headline row.
                 row["beaten_by_pct"] = 100.0 * (row["2d"] - row["3d"]) / row["3d"]
             entry["critics"][critic] = row
         table["per_k"][int(k)] = entry

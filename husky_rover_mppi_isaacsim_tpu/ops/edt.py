@@ -81,10 +81,13 @@ def edt_exact_sq_pallas(occupied: Array, block: int = 128,
 
 
 def normalize_minmax(d: Array) -> Array:
-    """cv2.NORM_MINMAX over the full array (MPPI_isaac.py:375)."""
+    """cv2.NORM_MINMAX over the full array (MPPI_isaac.py:375). A constant
+    array (obstacle-free or all-obstacle map) normalizes to zeros — cv2's
+    behavior — instead of 0/0 NaNs that would poison the critic stack."""
     lo = jnp.min(d)
     hi = jnp.max(d)
-    return (d - lo) / (hi - lo)
+    rng = hi - lo
+    return jnp.where(rng > 0, (d - lo) / jnp.where(rng > 0, rng, 1.0), 0.0)
 
 
 def distance_costmap(occupied: Array, falloff_power: float = 20.0) -> Array:
@@ -92,7 +95,11 @@ def distance_costmap(occupied: Array, falloff_power: float = 20.0) -> Array:
     (MPPI_isaac.py:374-377; the offline recipe uses p=10,
     create_costmap.py:24)."""
     d = edt_exact(occupied)
-    return (1.0 - normalize_minmax(d)) ** falloff_power
+    cost = (1.0 - normalize_minmax(d)) ** falloff_power
+    # obstacle-free map: the EDT saturates at the _BIG sentinel everywhere,
+    # min==max normalizes to 0 and cost would read 1.0 (all-colliding);
+    # the meaningful free-space answer is a zero-cost map
+    return jnp.where(jnp.any(occupied), cost, jnp.zeros_like(cost))
 
 
 # --- host-side cv2-compatible chamfer (fixture regeneration only) -----------

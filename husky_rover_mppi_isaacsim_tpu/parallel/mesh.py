@@ -88,8 +88,11 @@ def _local_step(config: MPPIConfig, hf, costmap, goal, robot, ctrl, noise, axis)
     global_min = jax.lax.pmin(jnp.min(costs), axis)
     weights = jnp.exp(-(costs - global_min) / config.temperature)
     total = jax.lax.psum(jnp.sum(weights), axis)
-    opt_u1 = jax.lax.psum(jnp.einsum("k,kh->h", weights, u1), axis) / total
-    opt_u2 = jax.lax.psum(jnp.einsum("k,kh->h", weights, u2), axis) / total
+    hi = jax.lax.Precision.HIGHEST  # match weighted_update (no bf16 lowering)
+    opt_u1 = jax.lax.psum(
+        jnp.einsum("k,kh->h", weights, u1, precision=hi), axis) / total
+    opt_u2 = jax.lax.psum(
+        jnp.einsum("k,kh->h", weights, u2, precision=hi), axis) / total
 
     k_o, a_o = config.optimal_lag
     opt_lin, opt_ang = wheel_lag(

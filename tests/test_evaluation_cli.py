@@ -240,10 +240,11 @@ def test_thesis_rescore_semantics(rng):
     cm = as_costmap(cm_img, 20.0, dtype=jnp.float64)
     log = TrajectoryLog(1, traj, vels, (0.0, 0.0), (10.0, 0.0))
     s = thesis_rescore(log, cm)
-    # distance = path length (every-5th-waypoint sampling of a straight
-    # line is exact)
-    assert abs(s["distance"] - 10.0) < 1e-6
-    assert abs(path_length(traj) - 10.0) < 1e-9
+    # distance = path length of the SAME first-waypoint-dropped array the
+    # other critics see (evaluate_trajectory.py drops [1:] before the
+    # commented compute_length alternative): strided points x=0.1..9.6
+    assert abs(s["distance"] - 9.5) < 1e-6
+    assert abs(path_length(traj) - 10.0) < 1e-9  # undropped, for reference
     # speed: (2-1)/(1+1e-4) per waypoint, first dropped
     assert abs(s["speed"] - (n - 1) * (2.0 - 1.0) / (1.0 + 1e-4)) < 1e-3
     # flat ground: slope critic = 1 per strided pair
