@@ -42,6 +42,14 @@ def _build_dataclass(cls, data):
     if data is None:
         return cls()
     if not dataclasses.is_dataclass(cls):
+        if hasattr(cls, "_fields"):  # NamedTuple configs (e.g. RoverParams)
+            if isinstance(data, dict):
+                unknown = set(data) - set(cls._fields)
+                if unknown:
+                    raise ValueError(
+                        f"{cls.__name__}: unknown keys {sorted(unknown)}")
+                return cls(**data)
+            return data
         return data
     hints = typing.get_type_hints(cls)
     kwargs = {}

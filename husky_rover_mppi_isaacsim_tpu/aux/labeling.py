@@ -122,15 +122,8 @@ def semantic_mask(
     seg = jnp.full(shape, ground_id, jnp.int32)
     if len(rock_xy) == 0:
         return seg
-    rx = jnp.asarray(rock_xy[:, 0])
-    ry = jnp.asarray(rock_xy[:, 1])
-    rr = jnp.asarray(rock_radius)
-    d2 = (
-        (rows[:, None, None] - rx[None, None, :]) ** 2
-        + (cols[None, :, None] - ry[None, None, :]) ** 2
-    )
-    hit = jnp.any(d2 <= (rr[None, None, :] ** 2), axis=-1)
-    return jnp.where(hit, rock_id, seg)
+    _, hit_ids = _stamp_rocks(rows, cols, rock_xy, rock_radius)
+    return jnp.where(hit_ids > 0, rock_id, seg)
 
 
 def instance_mask(
@@ -144,16 +137,31 @@ def instance_mask(
     cols = jnp.arange(w) * resolution + oy
     if len(rock_xy) == 0:
         return jnp.zeros(shape, jnp.int32)
-    rx = jnp.asarray(rock_xy[:, 0])
-    ry = jnp.asarray(rock_xy[:, 1])
+    _, hit_ids = _stamp_rocks(rows, cols, rock_xy, rock_radius)
+    return hit_ids
+
+
+def _stamp_rocks(rows: Array, cols: Array, rock_xy, rock_radius):
+    """Rock-disk rasterization as a ``lax.scan`` over rocks — O(H*W)
+    memory instead of the dense (H, W, num_rocks) distance tensor (which
+    is ~0.8 GB for an 800x800 yard at 300 rocks and OOMs at window
+    scale). Returns ``(hit_any, ids)`` with 1-based ids, later rocks
+    winning ties (matching the previous max-id semantics)."""
+    rx = jnp.asarray(rock_xy)[:, 0]
+    ry = jnp.asarray(rock_xy)[:, 1]
     rr = jnp.asarray(rock_radius)
-    d2 = (
-        (rows[:, None, None] - rx[None, None, :]) ** 2
-        + (cols[None, :, None] - ry[None, None, :]) ** 2
-    )
-    inside = d2 <= rr[None, None, :] ** 2
-    ids = jnp.arange(1, len(rock_xy) + 1)
-    return jnp.max(jnp.where(inside, ids[None, None, :], 0), axis=-1).astype(jnp.int32)
+    ids = jnp.arange(1, rx.shape[0] + 1, dtype=jnp.int32)
+
+    def body(acc, rock):
+        x, y, r, idx = rock
+        d2 = (rows[:, None] - x) ** 2 + (cols[None, :] - y) ** 2
+        inside = d2 <= r * r
+        return jnp.where(inside, idx.astype(jnp.int32), acc), None
+
+    stack = jnp.stack([rx, ry, rr, ids.astype(rx.dtype)], axis=1)
+    init = jnp.zeros((rows.shape[0], cols.shape[0]), jnp.int32)
+    out, _ = jax.lax.scan(body, init, stack)
+    return out > 0, out
 
 
 @dataclasses.dataclass
@@ -496,7 +504,9 @@ class AutonomousLabeling:
         # finite PNG range: escaped rays render at max_range
         out["cam_depth"] = np.where(np.isfinite(out["cam_depth"]),
                                     out["cam_depth"], max_range)
-        self._write(out, pose=cam_pos)
+        # joined captures: the top-down pass owns pose_{frame}.json (rover
+        # pose) — the camera pose lives in camera_{frame}.json below
+        self._write(out, pose=None if frame is not None else cam_pos)
         with open(self.run_dir / f"camera_{self.frame:05d}.json", "w") as fh:
             json.dump({
                 "intrinsics": intrinsics.as_dict(),

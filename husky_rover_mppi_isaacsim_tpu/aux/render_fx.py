@@ -321,6 +321,9 @@ def motion_blur(
     v = v * jnp.minimum(1.0, max_diameter_fraction * diag / norm)
     yy, xx = jnp.mgrid[0:h, 0:w].astype(image.dtype)
 
+    if num_samples < 2:
+        return image  # a single tap is the identity (and 0/0 otherwise)
+
     def tap(i):
         t = (i / (num_samples - 1)) - 0.5
         xs = xx + t * v[0]

@@ -39,7 +39,12 @@ def cost_to_color_ids(costs: np.ndarray, num_colors: int = 256) -> np.ndarray:
 def plot_rollout_spread(z, half_width, costmap, rollouts, optimal=None,
                         goal=None, save_path=None, stride=25):
     """2D heatmap + rollout spread colored by cost (the
-    plot_2d_surface_with_trajectory role, MPPI_isaac.py:112-186)."""
+    plot_2d_surface_with_trajectory role, MPPI_isaac.py:112-186).
+
+    ``z``/``costmap`` must use the Warp standalone layout (row = y counting
+    DOWN from +half_width, col = x — core/heightfield.py:24). A raw
+    streamer window (row = x, col = y) must be transposed+flipped first:
+    ``np.flipud(window.T)``."""
     plt = _plt()
     fig, ax = plt.subplots(figsize=(8, 7))
     extent = [-half_width, half_width, -half_width, half_width]

@@ -34,6 +34,26 @@ def _world_cfg(tree) -> dict:
     return base
 
 
+def _rover_params(tree):
+    """RoverParams from the physics config group (cfg/physics/*.yaml
+    ``rover:`` + top-level ``dt``/``gravity`` — the reference's
+    default_physics.yaml -> RoverParams wiring)."""
+    from .env.rover_sim import RoverParams
+
+    phys = tree.get("physics", {})
+    if not isinstance(phys, dict):
+        return RoverParams()
+    kw = {k: v for k, v in (phys.get("rover") or {}).items()
+          if k in RoverParams._fields}
+    if "dt" in phys and "physics_dt" not in kw:
+        kw["physics_dt"] = float(phys["dt"])
+    grav = phys.get("gravity")
+    if isinstance(grav, (list, tuple)) and len(grav) == 3 and \
+            "gravity" not in kw:
+        kw["gravity"] = abs(float(grav[2]))
+    return RoverParams(**kw)
+
+
 def _moonyard_dem(moonyard: dict, grid: int):
     """Small-scale env family (lunalab / lunaryard): generate the DEM with the
     procedural moonyard stack instead of the thesis crater surface."""
@@ -151,7 +171,7 @@ def run_closed_loop(tree) -> dict:
         mppi_cfg = tree.get("mppi", {"num_samples": 256, "horizon": 50})
         if not isinstance(mppi_cfg, MPPIConfig):
             mppi_cfg = MPPIConfig(**mppi_cfg)
-        cl = ClosedLoopConfig(mppi=mppi_cfg)
+        cl = ClosedLoopConfig(mppi=mppi_cfg, rover=_rover_params(tree))
     env = tree.get("environment", {})
     moonyard = env.get("moonyard") if isinstance(env, dict) else None
     hf, cm, hw = _build_standalone_world(_world_cfg(tree), dtype, moonyard)
@@ -348,7 +368,7 @@ def run_largescale(tree) -> dict:
     ck = tree.get("checkpoint", {}) or {}
     conf = LargeScaleLoopConf(
         terrain=terrain,
-        loop=ClosedLoopConfig(mppi=mppi_cfg),
+        loop=ClosedLoopConfig(mppi=mppi_cfg, rover=_rover_params(tree)),
         start=(start["x"], start["y"]),
         goal=(goal["x"], goal["y"]),
         max_steps=int(tree.get("max_steps", 20000)),

@@ -158,7 +158,9 @@ class DeformationEngine:
     def footprint_in_global(self, positions: Array, orientations: Array) -> Array:
         """Rotate the footprint into world frame by the link yaw
         (get_footprint_profile_in_global, deformation_engine.py:648-664;
-        orientations are xyzw quaternions)."""
+        orientations are wxyz scalar-first quaternions — Isaac's
+        get_world_poses layout, which the reference extraction
+        ``hx = 2 w z``, ``hy = 1 - 2 z**2`` assumes)."""
         hx = 2.0 * orientations[:, 0] * orientations[:, 3]
         hy = 1.0 - 2.0 * orientations[:, 3] * orientations[:, 3]
         px = (
@@ -179,7 +181,7 @@ class DeformationEngine:
 
         Args:
             dem: (H, W); num_pass: (H, W) int32; positions (n, 3);
-            orientations (n, 4) xyzw; normal_forces (n,).
+            orientations (n, 4) wxyz (scalar-first); normal_forces (n,).
         Returns (dem', num_pass').
         """
         res = self.conf.terrain_resolution

@@ -112,6 +112,11 @@ class TerramechanicsSolver:
         sinkage = jnp.broadcast_to(jnp.asarray(sinkage, jnp.float32), velocity.shape)
 
         slip = self.slip_ratio(velocity, omega)
+        # arctan(1 - z/r) replicates the reference solver verbatim
+        # (terramechanics_solver.py:50). NOTE: classical Bekker/Wong contact
+        # geometry is arccos(1 - z/r) (0 at z=0, growing with sinkage) —
+        # the reference's WIP solver inverts that trend; kept bit-matched
+        # for parity, flagged here for anyone using this module standalone.
         theta_f = jnp.arctan(1.0 - sinkage / r)
         theta_r = jnp.zeros_like(theta_f)
         theta_m = (t.a_0 + t.a_1 * slip) * theta_f

@@ -161,6 +161,10 @@ class DiskLayer(BaseLayer):
     def get_bounds(self):
         cfg = self._layer_cfg
         self._bounds = np.array([[0.0, 1.0], [0.0, 1.0]])
+        # reference formula verbatim (Layers.py:608). NOTE: the true
+        # annular-sector area is 0.5*dtheta*(r_max^2 - r_min^2); the
+        # reference's (dtheta)*(dr)^2 mis-scales Poisson intensities on
+        # disks — replicated for parity with upstream scene densities.
         self._area = (cfg.theta_max - cfg.theta_min) * (
             cfg.radius_max - cfg.radius_min
         ) ** 2

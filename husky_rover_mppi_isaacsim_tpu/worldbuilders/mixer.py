@@ -156,6 +156,12 @@ class RequestMixer:
                     else:
                         points = meta(num)
                     if self.has_point_process and is_first and isinstance(meta, MetaLayer):
+                        # reference semantics (Mixer.py:169-171): num
+                        # latches from the FIRST meta layer of the
+                        # point-process attribute — if a request tuple puts
+                        # another sampler before the point process on the
+                        # same attribute, upstream latches the wrong count
+                        # too; order the point-process request first
                         num = points.shape[0]
                         is_first = False
                 points = np.stack(

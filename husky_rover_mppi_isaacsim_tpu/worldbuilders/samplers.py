@@ -66,7 +66,13 @@ class BaseSampler:
         return np.concatenate(points)[:num] if points else np.zeros((0, self._cfg.randomization_space))
 
     def _image_points(self, num):
-        """Mask-weighted pixel draw + in-pixel jitter (Samplers.py:69-80)."""
+        """Mask-weighted pixel draw + in-pixel jitter (Samplers.py:69-80).
+
+        NOTE: the row flip ``H - row`` is the reference's own formula and
+        disagrees by one row with the clippers' lower-origin inverse
+        ``(H-1) - y/mpp`` (Clippers.py:35) — both sides replicate the
+        reference verbatim, so mask-sampled points paired with an image
+        clipper read the adjacent DEM row exactly as upstream does."""
         idx = self._rng.choice(self.idx, p=self.p, size=num)
         local = self._rng.uniform(0, self.mpp, size=(num, self._cfg.randomization_space))
         y = self.H - idx // self.mask.shape[1]

@@ -37,7 +37,7 @@ def test_deform_carves_trench():
     dem = jnp.zeros((200, 200))
     num_pass = jnp.zeros((200, 200), jnp.int32)
     pos = jnp.asarray([[5.0, 5.0, 0.0]])
-    quat = jnp.asarray([[0.0, 0.0, 0.0, 1.0]])  # identity xyzw
+    quat = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])  # identity wxyz (scalar first)
     forces = jnp.asarray([100.0])
     dem2, np2 = eng.deform(dem, num_pass, pos, quat, forces)
     assert float(dem2.min()) < 0.0          # soil pushed down
@@ -54,7 +54,7 @@ def test_deform_decay_on_repeat():
     dem = jnp.zeros((200, 200))
     num_pass = jnp.zeros((200, 200), jnp.int32)
     pos = jnp.asarray([[5.0, 5.0, 0.0]])
-    quat = jnp.asarray([[0.0, 0.0, 0.0, 1.0]])
+    quat = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])  # identity wxyz
     forces = jnp.asarray([100.0])
     dem1, num_pass = eng.deform(dem, num_pass, pos, quat, forces)
     first = float(dem1.min())
@@ -138,3 +138,20 @@ def test_terramechanics_quadrature_converges():
         jnp.asarray([theta_m]), jnp.asarray([theta_f]),
     )[0])
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_footprint_rotation_wxyz_yaw():
+    """The footprint heading extraction is wxyz (Isaac get_world_poses
+    scalar-first — deformation_engine.py:651-652): a yaw-90 quaternion
+    rotates the footprint's +x offsets onto +y."""
+    conf = DeformationEngineConf(terrain_resolution=0.1)
+    eng = DeformationEngine(conf)
+    pos = jnp.asarray([[0.0, 0.0, 0.0]])
+    c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+    quat = jnp.asarray([[c, 0.0, 0.0, s]])  # yaw = 90 deg, wxyz
+    pts = np.asarray(eng.footprint_in_global(pos, quat))
+    base = np.asarray(eng.footprint_in_global(
+        pos, jnp.asarray([[1.0, 0.0, 0.0, 0.0]])))
+    # rotation by 90 deg: (x, y) -> (-y, x)
+    np.testing.assert_allclose(pts[:, 0], -base[:, 1], atol=1e-5)
+    np.testing.assert_allclose(pts[:, 1], base[:, 0], atol=1e-5)
