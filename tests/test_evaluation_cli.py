@@ -335,3 +335,20 @@ def test_eval_r04_artifact_thesis_direction():
     assert smooth["arms"]["3d"]["completed"] == 16
     assert smooth["critics"]["speed"]["beaten_by_pct"] > 50
 
+
+
+def test_physics_rover_config_wired():
+    """cfg physics.rover/dt/gravity reach ClosedLoopConfig.rover (the
+    reference's default_physics.yaml -> RoverParams wiring)."""
+    from husky_rover_mppi_isaacsim_tpu.cli import _rover_params
+
+    rp = _rover_params({"physics": {
+        "dt": 0.02, "gravity": [0.0, 0.0, -1.62],
+        "rover": {"track": 1.5, "mass": 50.0},
+    }})
+    assert rp.track == 1.5 and rp.mass == 50.0
+    assert rp.physics_dt == 0.02 and rp.gravity == 1.62
+    # defaults when the group is absent
+    from husky_rover_mppi_isaacsim_tpu.env.rover_sim import RoverParams
+
+    assert _rover_params({}) == RoverParams()
