@@ -223,8 +223,7 @@ def bench_closed_loop(hf, cm, config: MPPIConfig, ns=(16, 64)):
     return per_step, 1.0 / per_step
 
 
-def selection_flops_per_loop(config: MPPIConfig, dem_res: float,
-                             cm_res: float) -> float:
+def selection_flops_per_loop(config: MPPIConfig, dem_res: float) -> float:
     """MXU flops one control loop actually issues for terrain/costmap
     selection (the dominant compute): per horizon step, 4 one-hot column
     selections x 3 bf16 splits x P^2 MACs per sample, for K samples + the
@@ -272,8 +271,6 @@ def bench_largescale(traverse_m: float = 100.0):
     # Relay round-trip statistics (VERDICT r04 weak #7: wall rates are
     # relay-noisy; persisting the RT distribution makes runs comparable
     # across relay moods).
-    import jax.numpy as jnp
-
     probe = jax.jit(lambda x: x * 2.0 + 1.0)
     _ = float(np.asarray(probe(jnp.float32(1.0))))  # compile
     rts = []
@@ -372,11 +369,12 @@ def main():
 
     best_loop = min(loop_direct, loop_onehot, loop_pallas)
     best = 1000 * 100 / best_loop
-    # Roofline accounting (v5e: 197 Tflop/s bf16) — how much of the loop
-    # time is explained by the MXU selection work it issues.
+    # Roofline accounting (v5e: 197 Tflop/s bf16) — how much of the PALLAS
+    # loop's time is explained by the MXU selection work it issues (the
+    # schedule the flop count is computed from).
     sel_flops = selection_flops_per_loop(
-        cfg(1000, 100, "pallas"), 0.1, 0.2)
-    mxu_pct = sel_flops / best_loop / 197e12 * 100.0
+        cfg(1000, 100, "pallas"), 0.1)
+    mxu_pct = sel_flops / loop_pallas / 197e12 * 100.0
     result = {
         "metric": "mppi_rollout_steps_per_s",
         "value": round(max(best, sps_big), 1),

@@ -101,7 +101,10 @@ def generate_trajectory_25d(x0, y0, heading_vector, linear_velocity,
                             angular_velocity, dt, iterations, resolution,
                             Z, half_width=20.0):
     """displacement_on_surface.py:317-369. Returns None on the ±half_width
-    boundary abort, matching the reference."""
+    boundary abort, matching the reference — including its quirk of
+    indexing the grid BEFORE the bounds check (:343 vs :348), so a single
+    step jumping more than ~2 cells past the edge can IndexError/wrap
+    exactly as the reference would; keep lin*dt below a couple of cells."""
     trajectory = np.zeros((iterations, 3))
     q = find_corners_heights(x0, y0, resolution, Z, half_width)
     normal = normal_on_grid(q, resolution)

@@ -117,7 +117,10 @@ def rollout_25d(z, x_min, y_min, resolution, position, heading, lin, ang, dt,
     for k in range(horizon):
         x, y = update_position(x, y, prev, lin[k], dt)
         i, j = corner_cell(x, y, x_min, y_min, resolution)
-        i, j = min(i, grid - 2), min(j, grid - 2)  # XLA clip semantics
+        # upper-bound min() mirrors XLA; negative indices deliberately NOT
+        # clamped — a traced jnp gather wraps them NumPy-style (verified:
+        # jit z[-1] reads the last row), so Python indexing already matches
+        i, j = min(i, grid - 2), min(j, grid - 2)
         q = gather_corners(z, i, j)
         height = bilinear(x, y, q, resolution)
         normal = quad_normal(q, resolution)

@@ -224,9 +224,15 @@ class TilePool:
         self._pool = lib.hn_pool_create(n_workers)
         self.n_workers = n_workers
 
+    def _handle(self):
+        if self._pool is None:
+            raise RuntimeError("TilePool is closed")  # not a NULL-deref
+        return self._pool
+
     def submit(self, kind: int, src: np.ndarray, p0: int = 1) -> int:
         """Enqueue a job (BICUBIC: p0 = upscale factor; EDT/CHAMFER:
         src > 0.5 is the binary input)."""
+        self._handle()
         src = _as_f32(src)
         h, w = src.shape
         return self._lib.hn_pool_submit(
@@ -234,10 +240,11 @@ class TilePool:
         )
 
     def pending(self) -> int:
-        return self._lib.hn_pool_pending(self._pool)
+        return self._lib.hn_pool_pending(self._handle())
 
     def collect(self, wait_ms: int = 1000):
         """Pop one finished (job_id, array), or None on timeout."""
+        self._handle()
         jid = ctypes.c_long()
         h = ctypes.c_int()
         w = ctypes.c_int()
@@ -254,6 +261,10 @@ class TilePool:
         )
         assert n == size.value
         factor = int(round((size.value / (h.value * w.value)) ** 0.5))
+        if factor < 1 or factor * factor * h.value * w.value != size.value:
+            raise RuntimeError(
+                f"TilePool job {jid.value}: output size {size.value} is not "
+                f"a square multiple of the {h.value}x{w.value} input")
         return jid.value, out.reshape(h.value * factor, w.value * factor)
 
     def collect_all(self, timeout_s: float = 60.0) -> dict:

@@ -106,13 +106,14 @@ void hn_edt_l2(const uint8_t* occ, int h, int w, float* out) {
 
 // ---------------------------------------------------------------------------
 // cv2-compatible 5x5 chamfer distance transform
-// (cv2.distanceTransform(img, DIST_L2, 5) weights a=0.955, b=1.3693,
-// c=2.196). Input: uint8 image, 0 = obstacle, nonzero = free.
+// (cv2.distanceTransform(img, DIST_L2, 5) weights a=1.0, b=1.4,
+// c=2.1969 — OpenCV's 5x5 DIST_L2 mask; the 0.955/1.3693 pair belongs to
+// the 3x3 mask). Input: uint8 image, 0 = obstacle, nonzero = free.
 // ---------------------------------------------------------------------------
 
 void hn_chamfer5(const uint8_t* free_img, int h, int w, float* out) {
   constexpr float kBig = 1e9f;
-  const float a = 0.955f, b = 1.3693f, c = 2.196f;
+  const float a = 1.0f, b = 1.4f, c = 2.1969f;
   const int pad = 2;
   const int H = h + 2 * pad, W = w + 2 * pad;
   std::vector<float> d(static_cast<size_t>(H) * W, kBig);

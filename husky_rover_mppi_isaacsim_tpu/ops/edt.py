@@ -109,8 +109,9 @@ def chamfer5(binary_free: np.ndarray) -> np.ndarray:
     nonzero = free), matching ``cv2.distanceTransform(img, DIST_L2, 5)``.
 
     Uses cv2 when importable (bit-identical by construction); otherwise a
-    NumPy two-pass raster scan with OpenCV's optimal 5x5 weights
-    (a, b, c) = (0.955, 1.3693, 2.196).
+    NumPy two-pass raster scan with OpenCV's 5x5 DIST_L2 weights
+    (a, b, c) = (1.0, 1.4, 2.1969). (0.955/1.3693 is the 3x3 mask's set —
+    using it here once made the fallback diverge ~4.5% from cv2.)
     """
     try:
         import cv2
@@ -126,7 +127,13 @@ def chamfer5(binary_free: np.ndarray) -> np.ndarray:
     if _native_available():
         return _native_chamfer5(binary_free)
 
-    a, b, c = 0.955, 1.3693, 2.196
+    return _chamfer5_numpy(binary_free)
+
+
+def _chamfer5_numpy(binary_free: np.ndarray) -> np.ndarray:
+    """Pure-NumPy two-pass raster scan (the last-resort fallback of
+    :func:`chamfer5`), exposed for direct cv2-parity testing."""
+    a, b, c = 1.0, 1.4, 2.1969
     h, w = binary_free.shape
     big = np.float32(1e9)
     d = np.where(binary_free == 0, np.float32(0), big).astype(np.float32)

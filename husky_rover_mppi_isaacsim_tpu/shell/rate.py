@@ -31,8 +31,9 @@ class Rate:
         was slept (negative when the loop overran the period)."""
         now = self._clock()
         slack = self._next - now
-        if slack > 0:
-            self._sleep(slack)
+        if slack >= 0:  # exactly on the boundary is on time, not an overrun
+            if slack > 0:
+                self._sleep(slack)
         else:
             self.overruns += 1
             # Re-anchor instead of bursting to catch up (matches the

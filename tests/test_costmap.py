@@ -98,3 +98,22 @@ def test_device_costmap_close_to_reference():
     dev = np.asarray(device_costmap(binary, falloff_power=10.0))
     assert np.abs(ref - dev).max() < 0.12
     assert np.abs(ref - dev).mean() < 0.01
+
+
+def test_chamfer_fallback_weights_match_cv2():
+    """The non-cv2 fallbacks (NumPy raster scan + native C++) must use
+    OpenCV's 5x5 DIST_L2 weights (1.0, 1.4, 2.1969) — the 3x3 set
+    (0.955, 1.3693) once sat here and silently diverged ~4.5%."""
+    cv2 = pytest.importorskip("cv2")
+    from husky_rover_mppi_isaacsim_tpu.ops.edt import _chamfer5_numpy
+
+    rng = np.random.default_rng(7)
+    free = (rng.random((48, 48)) > 0.06).astype(np.uint8) * 255
+    free[20, 20] = 0
+    theirs = cv2.distanceTransform(free, cv2.DIST_L2, 5)
+    ours = _chamfer5_numpy(free)
+    np.testing.assert_allclose(ours, theirs, atol=1e-3)
+    from husky_rover_mppi_isaacsim_tpu import native
+
+    if native.available():
+        np.testing.assert_allclose(native.chamfer5(free), theirs, atol=1e-3)

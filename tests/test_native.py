@@ -57,29 +57,9 @@ def test_chamfer5_matches_python_reference(rng):
     free[10, 12] = 0
     ours = native.chamfer5(free)
 
-    # run the pure-NumPy branch directly (bypass cv2/native dispatch)
-    a, b, c = 0.955, 1.3693, 2.196
-    h, w = free.shape
-    big = np.float32(1e9)
-    d = np.where(free == 0, np.float32(0), big).astype(np.float32)
-    pad = 2
-    dp = np.pad(d, pad, constant_values=big)
-    fwd = [(-1, -1, b), (-1, 0, a), (-1, 1, b), (0, -1, a),
-           (-2, -1, c), (-2, 1, c), (-1, -2, c), (-1, 2, c)]
-    for y in range(pad, h + pad):
-        for x in range(pad, w + pad):
-            v = dp[y, x]
-            for dy, dx, wgt in fwd:
-                v = min(v, dp[y + dy, x + dx] + wgt)
-            dp[y, x] = v
-    bwd = [(-dy, -dx, wgt) for dy, dx, wgt in fwd]
-    for y in range(h + pad - 1, pad - 1, -1):
-        for x in range(w + pad - 1, pad - 1, -1):
-            v = dp[y, x]
-            for dy, dx, wgt in bwd:
-                v = min(v, dp[y + dy, x + dx] + wgt)
-            dp[y, x] = v
-    ref = dp[pad:-pad, pad:-pad]
+    # the pure-NumPy branch directly (bypass cv2/native dispatch) — shared
+    # source of truth instead of a drift-prone inline copy of the weights
+    ref = edt_mod._chamfer5_numpy(free)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
     # it feeds the ops-level fallback
     assert edt_mod.chamfer5 is not None
