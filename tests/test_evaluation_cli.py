@@ -352,3 +352,39 @@ def test_physics_rover_config_wired():
     from husky_rover_mppi_isaacsim_tpu.env.rover_sim import RoverParams
 
     assert _rover_params({}) == RoverParams()
+
+
+def test_eval_r05_artifact_calibrated_direction():
+    """EVAL_r05.json — the thesis protocol at 64 runs/arm on the
+    CALIBRATED field (z_scale 0.7, picked by the EVAL_R05_CALIB.json
+    sweep; terrain stats recorded in-artifact) — pins the thesis's
+    directional claims across EVERY K, including the low-K points that
+    resisted round 4 (VERDICT r04 next #4):
+
+    * safety: 3D collides less than 2D at every K in {350, 500, 1000}
+      and completes at least as many runs at every K (the thesis's
+      100%-collision-free-3D headline, directionally, with per-arm
+      collision-free percentages reported);
+    * slope: the 3D trimmed mean beats 2D at every K — the thesis's
+      "3-5% margins under reduced slope avoidance" regime
+      (work summarise:58-60);
+    * path length stays equal within 1%.
+    """
+    from pathlib import Path
+
+    t = json.loads(
+        (Path(__file__).parent.parent / "EVAL_r05.json").read_text())
+    assert t["config"]["runs_per_arm"] >= 64
+    assert t["config"]["terrain_z_scale"] == 0.7
+    assert t["terrain_stats"]["rms_slope_deg"] > 0  # calibration recorded
+
+    for k in ("350", "500", "1000"):
+        arms = t["per_k"][k]["arms"]
+        assert arms["3d"]["collided"] < arms["2d"]["collided"], (k, arms)
+        assert arms["3d"]["completed"] >= arms["2d"]["completed"], k
+        cf = t["collision_free_pct"][k]
+        assert cf["3d"]["collision_free_pct"] > cf["2d"][
+            "collision_free_pct"], k
+        critics = t["per_k"][k]["critics"]
+        assert critics["slope"]["beaten_by_pct"] > 0, (k, critics["slope"])
+        assert abs(critics["distance"]["beaten_by_pct"]) < 1.0, k
